@@ -1,0 +1,253 @@
+"""Single dataclass config tree for the whole framework.
+
+Replaces the reference's per-script argparse sprawl and hardcoded constants
+(ref: train.py:86-99,143-148,189-191; train_HoME.py:127-145,204-209;
+infer_auc_HoME:166,243-256) with one serializable tree plus CLI overrides
+(`Config.from_flags`).  Every constant the reference buries in code is a field
+here with the reference value as default.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclass
+class TextEncoderConfig:
+    """BGE-base (BERT-base) encoder config (ref model.py:585-620 uses
+    BAAI/bge-base-en-v1.5, a standard 12-layer post-LN BERT)."""
+    vocab_size: int = 30523          # 30522 + "<SENT>" (ref train.py:103)
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    pad_token_id: int = 0
+    # LoRA (ref model.py:592-599: r=8, alpha=32, dropout=0.1 on query/value)
+    lora_rank: int = 8
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.1
+    lora_targets: Tuple[str, ...] = ("query", "value")
+
+
+@dataclass
+class ImageEncoderConfig:
+    """ViT-base-patch16-224 config (ref model.py:623-628).
+
+    TPU-native difference: the expert consumes the WebDataset patch rows
+    [196, 768] directly (the offline pipeline already patchified the image,
+    newpatch.py:102-104); the patch-embedding conv collapses to one matmul, so
+    the reference's reconstruct-image-then-re-patchify round trip
+    (model.py:168-171) is never executed on device.
+    """
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    num_patches: int = 196           # 14x14 grid of 16x16 patches
+    patch_dim: int = 768             # 3*16*16 flattened (C, ph, pw) bytes
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.0      # HF ViT default
+    attention_dropout: float = 0.0
+    pool_type: str = "mean"          # "mean" | "cls" (ref train.py:125)
+
+
+@dataclass
+class PackerConfig:
+    """Static-shape replacement for preprocess_batch (ref model.py:29-117).
+
+    The reference emits batch-dependent [N_chunks, max_chunk_len] /
+    [N_chunks, max_sents_per_chunk]; under XLA those dynamic shapes would
+    recompile every step, so we pad to the caps that already exist in the
+    reference: 4 chunks/sample, 384 tokens/chunk, 64 sentences/sample.
+    """
+    max_tok: int = 384               # tokens per chunk incl. [CLS]/[SEP]
+    max_chunks_per_sample: int = 4
+    fixed_sent_count: int = 64       # ref model.py:34 (comment says 128; code fixes 64)
+    # Flat chunk budget per batch side (user or item). The reference allots
+    # exactly B*max_chunks rows; real text mostly packs into 1-2 chunks, so a
+    # tighter budget (e.g. 2*B) saves encoder FLOPs while staying static.
+    # None -> batch_size * max_chunks_per_sample (exact reference shape).
+    chunk_budget: Optional[int] = None
+    sent_token: str = "<SENT>"
+
+
+@dataclass
+class ModelConfig:
+    d: int = 768
+    n_experts: int = 6
+    # RobustTextCrossExpert (ref model.py:386-451)
+    cross_layers: int = 2
+    cross_heads: int = 8
+    # EnhancedCrossFuse (ref model.py:454-507)
+    fuse_depth: int = 2
+    fuse_heads: int = 8
+    dropout: float = 0.1
+    # TwoTaskMMoE towers (ref model.py:537-557)
+    tower_hidden: int = 256
+    tower_dropout: float = 0.0
+    # HoME head (ref model_HoME.py:530-588; trainer overrides tower=512)
+    home_shared_experts: int = 4
+    home_task_experts: int = 2
+    home_tower_hidden: int = 512
+    home_expert_hidden: int = 1024
+    home_expert_dropout: float = 0.1
+    home_tower_dropout: float = 0.1
+    home_bn_momentum: float = 0.1    # torch BatchNorm1d default
+    home_bn_eps: float = 1e-5
+    variant: str = "baseline"        # "baseline" | "home"
+    text: TextEncoderConfig = field(default_factory=TextEncoderConfig)
+    image: ImageEncoderConfig = field(default_factory=ImageEncoderConfig)
+    packer: PackerConfig = field(default_factory=PackerConfig)
+    # numerics
+    compute_dtype: str = "bfloat16"  # replaces CUDA AMP fp16 (ref train.py:241)
+    param_dtype: str = "float32"
+    use_flash_attention: bool = True # Pallas fused attention on TPU
+
+
+@dataclass
+class OptimConfig:
+    """AdamW groups + freeze->warmup schedule (ref train.py:143-186)."""
+    lr: float = 2e-5
+    weight_decay: float = 1e-2
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    grad_accum: int = 8
+    # LoRA freeze/warmup in *optimizer* steps (ref train.py:145-148)
+    freeze_steps: int = 2_000
+    unfreeze_steps: int = 1_200
+    # HoME overrides (ref train_HoME.py:204-209)
+    home_freeze_steps: int = 2_400
+    home_unfreeze_steps: int = 1_600
+
+
+@dataclass
+class LossConfig:
+    # BCE pos_weights hardcoded in the reference (train.py:189-191)
+    pos_weight_good: float = 858_627 / 990_303
+    pos_weight_best: float = 1_328_721 / 520_209
+    # HoME contrastive aux losses (ref train_HoME.py:140-143, 360-368)
+    lambda_cross: float = 0.1
+    lambda_user_img: float = 0.1
+    lambda_item_img: float = 0.1
+    temperature: float = 0.07
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh for SPMD. The reference's only parallelism is 2-GPU DDP
+    (SURVEY §2f); here DP rides the `data` axis and optional tensor
+    parallelism rides `model` (attention heads / FFN shards), with XLA
+    inserting psum/all-gather over ICI."""
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # n_data x n_model; (None, 1) -> all devices on data.
+    data_parallel: Optional[int] = None
+    model_parallel: int = 1
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 128            # per-device micro batch (ref README 128/GPU)
+    epochs: int = 4
+    steps_per_epoch: int = 5_600     # micro-steps (ref train.py:143,218)
+    home_steps_per_epoch: int = 7_200
+    seed: int = 0
+    log_every: int = 8
+    checkpoint_dir: str = "./outputs/ckpt"
+    output_dir: str = "./outputs"
+    resume: bool = True              # the reference can only save (SURVEY §5)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+@dataclass
+class DataConfig:
+    train_pattern: str = ""
+    valid_pattern: str = ""
+    shuffle_buffer: int = 512        # ref train.py:52
+    shard_shuffle: bool = True
+    num_prefetch: int = 4            # host->device pipeline depth
+    num_tokenizer_threads: int = 2
+    vocab_path: Optional[str] = None # WordPiece vocab.txt (BGE/BERT format)
+    # feature-engineering knobs (ref data4moe_beam.py)
+    neg_k: int = 5
+    five_star_keep_rate: float = 0.2
+    train_end: str = "2023-06-30"
+    valid_end: str = "2023-09-30"
+    all_pids_sample: int = 10_000
+    samples_per_shard: int = 1024    # ref data4model.py:315
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    # ---- serialization ----------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return _from_dict(cls, d)
+
+    def override(self, **dotted: Any) -> "Config":
+        """Return a new Config with dotted-path overrides, e.g.
+        cfg.override(**{"train.batch_size": 32, "model.variant": "home"})."""
+        d = self.to_dict()
+        for key, val in dotted.items():
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config field: {key}")
+            node[parts[-1]] = val
+        return Config.from_dict(d)
+
+    @classmethod
+    def from_flags(cls, argv: Sequence[str]) -> "Config":
+        """Parse `--a.b.c=value` style overrides from a CLI arg list."""
+        cfg = cls()
+        overrides = {}
+        for arg in argv:
+            if not arg.startswith("--") or "=" not in arg:
+                raise ValueError(f"expected --path.to.field=value, got {arg!r}")
+            key, _, raw = arg[2:].partition("=")
+            try:
+                val = json.loads(raw)
+            except json.JSONDecodeError:
+                val = raw
+            overrides[key] = val
+        return cfg.override(**overrides) if overrides else cfg
+
+
+def _from_dict(cls, d):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name in d:
+            v = d[f.name]
+            ftype = f.type if not isinstance(f.type, str) else None
+            default = f.default_factory() if f.default_factory is not dataclasses.MISSING else None
+            if dataclasses.is_dataclass(default):
+                v = _from_dict(type(default), v)
+            elif isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+    return cls(**kwargs)

@@ -1,0 +1,93 @@
+"""BGE-base / BERT-base text encoder in flax, with LoRA on query/value.
+
+Replaces the reference's HF `AutoModel.from_pretrained("BAAI/bge-base-en-v1.5")
++ peft` stack (ref model.py:585-620).  BGE-base is a standard 12-layer
+post-LayerNorm BERT; weights convert from an HF torch state_dict via
+utils/hf_convert.py (the vocab grows by one row for "<SENT>",
+ref train.py:103 + resize_token_embeddings model.py:598).
+
+TPU notes: the encoder runs on a static [N_chunks, max_tok] batch (see
+data/packer.py) in bfloat16 with fp32 LayerNorms; attention optionally uses
+the Pallas flash kernel.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import TextEncoderConfig
+from .layers import Attention, Array, Mlp
+
+
+class BertLayer(nn.Module):
+    cfg: TextEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, pad_mask: Optional[Array], *,
+                 deterministic: bool = True) -> Array:
+        cfg = self.cfg
+        h = Attention(cfg.num_heads, dropout=cfg.attention_dropout,
+                      use_flash=self.use_flash, dtype=self.dtype,
+                      param_dtype=self.param_dtype,
+                      lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+                      lora_dropout=cfg.lora_dropout,
+                      lora_targets=cfg.lora_targets,
+                      name="attention")(x, x, x, pad_mask,
+                                        deterministic=deterministic)
+        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+        # Post-LN residual (BERT style).
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="attention_norm")(x + h.astype(x.dtype))
+        h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=nn.gelu,
+                dropout=0.0, out_dropout=cfg.hidden_dropout,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="mlp")(x.astype(self.dtype), deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                            name="output_norm")(x + h.astype(x.dtype))
+
+
+class BertEncoder(nn.Module):
+    """[N, L] token ids -> [N, L, D] hidden states (== last_hidden_state)."""
+    cfg: TextEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids: Array,
+                 pad_mask: Optional[Array] = None, *,
+                 deterministic: bool = True) -> Array:
+        cfg = self.cfg
+        n, l = input_ids.shape
+        if pad_mask is None:
+            pad_mask = input_ids == cfg.pad_token_id
+
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="word_embeddings")(input_ids)
+        # The reference always passes explicit position_ids = arange and
+        # token_type_ids = zeros (ref model.py:256-257).
+        pos_ids = jnp.arange(l, dtype=jnp.int32)[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="position_embeddings")(pos_ids)
+        tok_type = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name="token_type_embeddings")(
+                                jnp.zeros((1, l), jnp.int32))
+        x = word + pos + tok_type
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="embeddings_norm")(x)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        x = x.astype(self.dtype)
+        for i in range(cfg.num_layers):
+            x = BertLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                          use_flash=self.use_flash,
+                          name=f"layer_{i}")(x, pad_mask,
+                                             deterministic=deterministic)
+        return x

@@ -1,0 +1,81 @@
+"""ViT-base image encoder operating natively on pre-computed patch rows.
+
+Replaces HF `ViTModel.from_pretrained("google/vit-base-patch16-224-in21k")`
+(ref model.py:623-628).  The offline pipeline already stores each image as 196
+rows of 768 bytes — (14*14 patch grid, C*16*16) in (C, ph, pw) row-major order
+(ref newpatch.py:102-104).  The HF ViT patch-embedding Conv2d(3, 768, 16, 16)
+applied to the reconstructed image computes, per patch location, exactly
+`flatten(C,ph,pw) . flatten(kernel)`, so on TPU the conv collapses to one
+Dense over the stored patch rows and the reference's
+patches -> full image -> re-patchify round trip (ref model.py:168-171)
+disappears from the device graph entirely.  utils/hf_convert.py reshapes the
+HF conv kernel into this Dense.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ImageEncoderConfig
+from .layers import Array, Attention, Mlp
+
+
+class ViTLayer(nn.Module):
+    cfg: ImageEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        cfg = self.cfg
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="norm1")(x)
+        h = Attention(cfg.num_heads, dropout=cfg.attention_dropout,
+                      use_flash=self.use_flash, dtype=self.dtype,
+                      param_dtype=self.param_dtype,
+                      name="attention")(h.astype(self.dtype), h.astype(self.dtype),
+                                        h.astype(self.dtype), None,
+                                        deterministic=deterministic)
+        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+        x = x + h.astype(x.dtype)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="norm2")(x)
+        h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=nn.gelu,
+                dropout=cfg.hidden_dropout, out_dropout=cfg.hidden_dropout,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="mlp")(h.astype(self.dtype), deterministic=deterministic)
+        return x + h.astype(x.dtype)
+
+
+class ViTEncoder(nn.Module):
+    """[B, 196, 768] normalized patch rows -> [B, 197, D] token states
+    (CLS prepended), post final LayerNorm (== HF last_hidden_state)."""
+    cfg: ImageEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, patches: Array, *, deterministic: bool = True) -> Array:
+        cfg = self.cfg
+        b = patches.shape[0]
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                     param_dtype=self.param_dtype,
+                     name="patch_embed")(patches.astype(self.dtype))
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, cfg.hidden_size), self.param_dtype)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, cfg.hidden_size)), x],
+            axis=1)
+        pos = self.param("pos_embed", nn.initializers.zeros,
+                         (1, cfg.num_patches + 1, cfg.hidden_size),
+                         self.param_dtype)
+        x = x + pos.astype(x.dtype)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        for i in range(cfg.num_layers):
+            x = ViTLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                         use_flash=self.use_flash,
+                         name=f"layer_{i}")(x, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                            name="final_norm")(x)
