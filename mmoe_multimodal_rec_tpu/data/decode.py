@@ -1,0 +1,103 @@
+"""Sample decoding: tar member bytes -> training sample.
+
+Mirrors `decode_sample` (ref model.py:127-189) with one TPU-native change:
+the image stays in its stored patch-row form [196, 768] uint8 — the reference
+reconstructs the 224x224 image on the host per sample (model.py:168-171) only
+for ViT to immediately re-patchify it; our ViT consumes patch rows directly
+(models/vit.py), and ImageNet normalization happens on device
+(models/image_expert.normalize_patches).  `patch_rows_to_image` provides the
+reconstruction for parity tests and visual debugging.
+
+All defensive guards are preserved: missing/empty required fields, label
+range + NaN/Inf checks via `safe_float`, zero-image fallback on any patch
+decode failure (including the reference's 2x-size zero filler for imageless
+samples, data4model.py:214-217, which is never read because has_image=0).
+"""
+from __future__ import annotations
+
+import json
+import math
+from typing import Dict, Optional
+
+import numpy as np
+
+PATCH_ROWS = 196
+PATCH_DIM = 768
+PATCH_SHAPE = (PATCH_ROWS, PATCH_DIM)
+
+
+def safe_float(x, default: float = 0.0) -> float:
+    """float(x) with NaN/Inf/parse guards (ref model.py:121-125)."""
+    try:
+        v = float(x)
+        return v if math.isfinite(v) else default
+    except Exception:
+        return default
+
+
+def decode_sample(sample: Dict[str, bytes]) -> Optional[dict]:
+    """Returns {user_text, item_text, patch [196,768] u8, has_image,
+    label_good, label_best} or None for malformed samples (dropped upstream,
+    ref train.py:54)."""
+    try:
+        user_bytes = sample.get("user.json", b"")
+        item_bytes = sample.get("item.json", b"")
+        label_bytes = sample.get("label.json", b"")
+        misc_bytes = sample.get("misc.json", b"")
+        if not user_bytes or not item_bytes or not label_bytes:
+            return None
+
+        user_raw = user_bytes.decode("utf-8").strip()
+        item_raw = item_bytes.decode("utf-8").strip()
+        label = json.loads(label_bytes)
+        misc = json.loads(misc_bytes) if misc_bytes else {}
+        if not user_raw or not item_raw:
+            return None
+        if "label_good" not in label or "label_best" not in label:
+            return None
+
+        label_good = safe_float(label["label_good"])
+        label_best = safe_float(label["label_best"])
+        if not (0 <= label_good <= 1) or not (0 <= label_best <= 1):
+            return None
+
+        patch = np.zeros(PATCH_SHAPE, np.uint8)
+        has_image = 0
+        if misc.get("has_image", 0) and "patch.bin" in sample:
+            try:
+                shape = misc.get("shape", [196, 3, 16, 16])
+                arr = np.frombuffer(sample["patch.bin"], dtype=np.uint8)
+                arr = arr.reshape(shape)          # raises on size mismatch
+                patch = np.ascontiguousarray(arr.reshape(PATCH_SHAPE))
+                has_image = 1
+            except Exception:
+                patch = np.zeros(PATCH_SHAPE, np.uint8)
+                has_image = 0
+
+        return {
+            "user_text": user_raw,
+            "item_text": item_raw,
+            "patch": patch,
+            "has_image": has_image,
+            "label_good": label_good,
+            "label_best": label_best,
+        }
+    except Exception:
+        return None
+
+
+def patch_rows_to_image(rows: np.ndarray, grid: int = 14,
+                        patch: int = 16) -> np.ndarray:
+    """[grid^2, 3*patch^2] rows -> [3, grid*patch, grid*patch] image
+    (inverse of newpatch.py:102-104; equals the reference's reconstruction
+    model.py:168-171)."""
+    x = rows.reshape(grid, grid, 3, patch, patch).transpose(2, 0, 3, 1, 4)
+    return np.ascontiguousarray(x.reshape(3, grid * patch, grid * patch))
+
+
+def image_to_patch_rows(img: np.ndarray, patch: int = 16) -> np.ndarray:
+    """[3, H, W] image -> [H*W/patch^2, 3*patch^2] rows (newpatch.py:102-104)."""
+    c, h, w = img.shape
+    gh, gw = h // patch, w // patch
+    x = img.reshape(c, gh, patch, gw, patch).transpose(1, 3, 0, 2, 4)
+    return np.ascontiguousarray(x.reshape(gh * gw, c * patch * patch))

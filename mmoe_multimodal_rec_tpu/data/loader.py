@@ -1,0 +1,205 @@
+"""Streaming train/eval loaders: shards -> decoded samples -> packed device
+batches, with host-side tokenization fully overlapped with device steps.
+
+Replaces the reference's WebDataset + torch DataLoader stack (ref
+train.py:41-67, inference_and_auc.py:25-42) and fixes its single biggest
+throughput sin: tokenization ran *synchronously inside the training step*
+(train.py:236-239, SURVEY §7.8).  Here a background thread packs the next
+batches while the device crunches the current one, and `device_prefetch`
+keeps `num_prefetch` batches in flight.
+
+Sharding semantics match the reference:
+- shard-level split across hosts (== wds.split_by_node, train.py:50), by
+  round-robin over sorted shard paths;
+- shard shuffle + a sample shuffle buffer (.shuffle(512), train.py:52);
+- malformed samples decode to None and are dropped (train.py:54);
+- infinite repeat for training (train.py:55), single sequential pass for eval.
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import PackerConfig
+from .decode import PATCH_SHAPE, decode_sample
+from .packer import TextPacker
+from .tar_io import iter_shard
+
+
+def split_shards(paths: Sequence[str], host_index: int,
+                 host_count: int) -> List[str]:
+    """wds.split_by_node equivalent: round-robin shard assignment."""
+    paths = sorted(paths)
+    return [p for i, p in enumerate(paths) if i % host_count == host_index]
+
+
+def iter_decoded(paths: Sequence[str], *, shuffle: bool = False,
+                 shuffle_buffer: int = 512, repeat: bool = False,
+                 seed: int = 0) -> Iterator[dict]:
+    """Stream decoded samples from tar shards."""
+    rng = random.Random(seed)
+    epoch = 0
+    while True:
+        shard_order = list(paths)
+        if shuffle:
+            rng.shuffle(shard_order)
+        buf: List[dict] = []
+        for path in shard_order:
+            for raw in iter_shard(path):
+                sample = decode_sample(raw)
+                if sample is None:
+                    continue
+                if shuffle:
+                    buf.append(sample)
+                    if len(buf) >= shuffle_buffer:
+                        idx = rng.randrange(len(buf))
+                        buf[idx], buf[-1] = buf[-1], buf[idx]
+                        yield buf.pop()
+                else:
+                    yield sample
+        while buf:
+            idx = rng.randrange(len(buf))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            yield buf.pop()
+        epoch += 1
+        if not repeat:
+            return
+
+
+def assemble_batch(samples: List[dict], packer: TextPacker,
+                   chunk_budget: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Decoded samples -> static-shape numpy batch (model + loss inputs)."""
+    b = len(samples)
+    user = packer.pack([s["user_text"] for s in samples], chunk_budget)
+    item = packer.pack([s["item_text"] for s in samples], chunk_budget)
+    patches = np.stack([s["patch"] for s in samples])
+    return {
+        "user_tokens": user.tokens, "user_sent_chunk": user.sent_chunk,
+        "user_sent_tok": user.sent_tok,
+        "item_tokens": item.tokens, "item_sent_chunk": item.sent_chunk,
+        "item_sent_tok": item.sent_tok,
+        "patches": patches.reshape(b, *PATCH_SHAPE),
+        "has_image": np.asarray([s["has_image"] for s in samples], np.int32),
+        "label_good": np.asarray([s["label_good"] for s in samples],
+                                 np.float32),
+        "label_best": np.asarray([s["label_best"] for s in samples],
+                                 np.float32),
+    }
+
+
+class BatchLoader:
+    """Background-threaded sample->batch pipeline.
+
+    `partial_batches=False` drops the trailing short batch (training);
+    eval sets it True and pads the final batch with repeats + a `valid` mask
+    so jit never sees a new shape.
+    """
+
+    def __init__(self, sample_iter: Iterator[dict], batch_size: int,
+                 packer: TextPacker, *, chunk_budget: Optional[int] = None,
+                 num_prefetch: int = 4, partial_batches: bool = False):
+        self.sample_iter = sample_iter
+        self.batch_size = batch_size
+        self.packer = packer
+        self.chunk_budget = chunk_budget
+        self.partial_batches = partial_batches
+        self._q: "queue.Queue" = queue.Queue(maxsize=num_prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            batch_samples: List[dict] = []
+            for sample in self.sample_iter:
+                if self._stop.is_set():
+                    return
+                batch_samples.append(sample)
+                if len(batch_samples) == self.batch_size:
+                    self._emit(batch_samples, None)
+                    batch_samples = []
+            if batch_samples and self.partial_batches:
+                n = len(batch_samples)
+                while len(batch_samples) < self.batch_size:
+                    batch_samples.append(batch_samples[n - 1])
+                self._emit(batch_samples, n)
+            self._q.put(None)
+        except BaseException as e:  # surface worker errors to the consumer
+            self._q.put(e)
+
+    def _emit(self, samples: List[dict], n_valid: Optional[int]):
+        batch = assemble_batch(samples, self.packer, self.chunk_budget)
+        valid = np.zeros(self.batch_size, bool)
+        valid[:n_valid if n_valid is not None else self.batch_size] = True
+        batch["valid"] = valid
+        self._q.put(batch)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def make_train_loader(shard_paths: Sequence[str], batch_size: int,
+                      packer: TextPacker, *, host_index: int = 0,
+                      host_count: int = 1, shuffle_buffer: int = 512,
+                      seed: int = 0, chunk_budget: Optional[int] = None,
+                      num_prefetch: int = 4) -> BatchLoader:
+    paths = split_shards(shard_paths, host_index, host_count)
+    it = iter_decoded(paths, shuffle=True, shuffle_buffer=shuffle_buffer,
+                      repeat=True, seed=seed)
+    return BatchLoader(it, batch_size, packer, chunk_budget=chunk_budget,
+                       num_prefetch=num_prefetch)
+
+
+def make_eval_loader(shard_paths: Sequence[str], batch_size: int,
+                     packer: TextPacker, *,
+                     chunk_budget: Optional[int] = None,
+                     num_prefetch: int = 4) -> BatchLoader:
+    it = iter_decoded(sorted(shard_paths), shuffle=False, repeat=False)
+    return BatchLoader(it, batch_size, packer, chunk_budget=chunk_budget,
+                       num_prefetch=num_prefetch, partial_batches=True)
+
+
+def device_prefetch(batch_iter, n: int = 2, sharding=None):
+    """Keep `n` device-resident batches in flight (host->device pipelining;
+    replaces DataLoader worker IPC + .to(device) in the step loop,
+    ref train.py:219-231)."""
+    import jax
+    import collections
+    buf = collections.deque()
+
+    def put(b):
+        if sharding is not None:
+            return jax.device_put(b, sharding)
+        return jax.device_put(b)
+
+    it = iter(batch_iter)
+    try:
+        for _ in range(n):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,123 @@
+"""Static-shape sentence/chunk packer — the keystone host transform.
+
+Reimplements `preprocess_batch` (ref model.py:29-117) with identical packing
+semantics but XLA-static outputs (SURVEY §7.2): the reference emits
+batch-dependent [N_chunks, max_chunk_len] / [N_chunks, max_sents_per_chunk]
+plus a python chunk->sample bucket loop on device (model.py:302-327); under
+jit those dynamic shapes would recompile every step.  Here everything pads to
+the caps that already exist in the reference — max_tok=384 tokens/chunk,
+4 chunks/sample, 64 sentences/sample — and the regroup becomes two small
+index tensors consumed by one gather in models/text_expert.py.
+
+Replicated reference quirks (deliberate, for checkpoint parity):
+- Per-sentence encode truncates to max_tok-3 tokens, then a <SENT> marker is
+  prepended (model.py:58-66).
+- A chunk flushes only when the NEXT sentence would overflow; if the flush
+  reaches max_chunks, the sentence that triggered it is silently dropped
+  (model.py:57-94).
+- Out-of-base-vocab ids clamp to [PAD] — *including the <SENT> marker itself*
+  (id == vocab_size, model.py:101-109).  The encoder therefore sees [PAD] at
+  sentence slots (masked as attention keys) and the sentence vector is the
+  hidden state of that slot; the published checkpoints depend on this.
+- Sentence positions are +1-shifted for the [CLS] prefix (model.py:73-75).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import PackerConfig
+from .sentence import make_sentence_splitter
+
+
+@dataclass
+class PackedBatch:
+    """Static-shape packed text for one side (user or item)."""
+    tokens: np.ndarray      # [N_budget, max_tok] int32, pad rows = pad_id
+    sent_chunk: np.ndarray  # [B, S] int32 global chunk row, -1 pad
+    sent_tok: np.ndarray    # [B, S] int32 token index of the marker, -1 pad
+    n_chunks: int           # real chunks (<= N_budget)
+
+
+class TextPacker:
+    def __init__(self, tokenizer, cfg: Optional[PackerConfig] = None,
+                 splitter: Optional[Callable[[str], List[str]]] = None):
+        self.tok = tokenizer
+        self.cfg = cfg or PackerConfig()
+        self.split = splitter or make_sentence_splitter()
+
+    def pack(self, texts: Sequence[str],
+             chunk_budget: Optional[int] = None) -> PackedBatch:
+        cfg = self.cfg
+        tok = self.tok
+        max_tok = cfg.max_tok
+        pad_limit = max_tok - 2
+        budget = chunk_budget or cfg.chunk_budget or \
+            len(texts) * cfg.max_chunks_per_sample
+        S = cfg.fixed_sent_count
+
+        tokens = np.full((budget, max_tok), tok.pad_id, np.int32)
+        sent_chunk = np.full((len(texts), S), -1, np.int32)
+        sent_tok = np.full((len(texts), S), -1, np.int32)
+
+        chunk_row = 0
+        for si, text in enumerate(texts):
+            sents = self.split(text)
+            cur: List[int] = []
+            sent_pos: List[int] = []
+            chunk_count = 0
+            n_sents = 0  # sentences recorded for this sample (cap S)
+
+            def emit(cur_ids: List[int], positions: List[int]) -> bool:
+                """Write one chunk; record its sentence routing. Returns
+                False when the global chunk budget is exhausted."""
+                nonlocal chunk_row, n_sents
+                if chunk_row >= budget:
+                    return False
+                row = [tok.cls_id] + cur_ids + [tok.sep_id]
+                ids = np.asarray(row, np.int32)
+                # OOV clamp incl. <SENT> (model.py:101-109)
+                ids[ids >= tok.vocab_size] = tok.pad_id
+                tokens[chunk_row, :len(ids)] = ids
+                for p in positions:          # +1 shift for [CLS]
+                    if n_sents >= S:
+                        break
+                    sent_chunk[si, n_sents] = chunk_row
+                    sent_tok[si, n_sents] = p + 1
+                    n_sents += 1
+                chunk_row += 1
+                return True
+
+            for sent in sents:
+                if chunk_count >= cfg.max_chunks_per_sample:
+                    break
+                base_ids = tok.encode(sent, max_length=pad_limit - 1)
+                ids = [tok.sent_id] + base_ids
+                if len(cur) + len(ids) > pad_limit:
+                    emit(cur, sent_pos)
+                    chunk_count += 1
+                    cur, sent_pos = list(ids), [0]
+                else:
+                    sent_pos.append(len(cur))
+                    cur.extend(ids)
+            if chunk_count < cfg.max_chunks_per_sample and cur:
+                emit(cur, sent_pos)
+
+        return PackedBatch(tokens=tokens, sent_chunk=sent_chunk,
+                           sent_tok=sent_tok, n_chunks=chunk_row)
+
+
+def pack_pair(packer: TextPacker, user_texts: Sequence[str],
+              item_texts: Sequence[str],
+              chunk_budget: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Pack both text sides into the model's batch-key layout."""
+    u = packer.pack(user_texts, chunk_budget)
+    i = packer.pack(item_texts, chunk_budget)
+    return {
+        "user_tokens": u.tokens, "user_sent_chunk": u.sent_chunk,
+        "user_sent_tok": u.sent_tok,
+        "item_tokens": i.tokens, "item_sent_chunk": i.sent_chunk,
+        "item_sent_tok": i.sent_tok,
+    }

@@ -1,0 +1,299 @@
+"""Data substrate tests: tar IO roundtrip, decode guards, tokenizer parity
+with HF BertTokenizer, packer semantics (incl. reference quirks), loader."""
+import json
+
+import numpy as np
+import pytest
+
+from mmoe_multimodal_rec_tpu.config import PackerConfig
+from mmoe_multimodal_rec_tpu.data import (BatchLoader, HashTokenizer,
+                                          TextPacker, WordPieceTokenizer,
+                                          assemble_batch, decode_sample,
+                                          image_to_patch_rows, iter_decoded,
+                                          iter_shard, make_eval_loader,
+                                          patch_rows_to_image, split_sentences,
+                                          split_shards, write_shard)
+from mmoe_multimodal_rec_tpu.data.synthetic import (make_sample,
+                                                    synthetic_raw_batch,
+                                                    write_synthetic_shards)
+
+
+# ---------------------------------------------------------------------------
+# tar IO
+# ---------------------------------------------------------------------------
+
+def test_tar_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    samples = [make_sample(rng, i) for i in range(7)]
+    path = str(tmp_path / "shard.tar.gz")
+    assert write_shard(path, samples) == 7
+    back = list(iter_shard(path))
+    assert len(back) == 7
+    assert back[0]["__key__"] == samples[0]["__key__"]
+    assert back[3]["user.json"] == samples[3]["user.json"]
+    assert back[3]["patch.bin"] == samples[3]["patch.bin"]
+
+
+def test_shard_writer_splits(tmp_path):
+    paths = write_synthetic_shards(str(tmp_path), n_samples=10,
+                                   samples_per_shard=4)
+    assert len(paths) == 3  # 4 + 4 + 2
+    counts = [len(list(iter_shard(p))) for p in paths]
+    assert counts == [4, 4, 2]
+
+
+# ---------------------------------------------------------------------------
+# decode_sample guards (ref model.py:127-189)
+# ---------------------------------------------------------------------------
+
+def _valid_raw(rng):
+    return make_sample(rng, 0, p_image=1.0)
+
+
+def test_decode_valid_sample():
+    s = decode_sample(_valid_raw(np.random.default_rng(0)))
+    assert s is not None
+    assert s["patch"].shape == (196, 768) and s["patch"].dtype == np.uint8
+    assert s["has_image"] == 1
+    assert s["label_good"] in (0.0, 1.0)
+
+
+def test_decode_missing_fields():
+    raw = _valid_raw(np.random.default_rng(0))
+    for field in ("user.json", "item.json", "label.json"):
+        broken = dict(raw)
+        del broken[field]
+        assert decode_sample(broken) is None
+
+
+def test_decode_bad_labels():
+    raw = _valid_raw(np.random.default_rng(0))
+    raw = dict(raw)
+    raw["label.json"] = json.dumps({"label_good": 3, "label_best": 0}).encode()
+    assert decode_sample(raw) is None
+    raw["label.json"] = json.dumps({"label_good": float("nan"),
+                                    "label_best": 0}).encode()
+    # NaN -> safe_float default 0.0 -> valid (reference behavior)
+    assert decode_sample(raw) is not None
+
+
+def test_decode_zero_filler_never_read():
+    """has_image=0 with the 2x-size zero filler decodes to a zero patch."""
+    raw = _valid_raw(np.random.default_rng(0))
+    raw = dict(raw)
+    raw["patch.bin"] = b"\x00" * (196 * 768 * 2)
+    raw["misc.json"] = json.dumps({"has_image": 0,
+                                   "shape": [196, 3, 16, 16]}).encode()
+    s = decode_sample(raw)
+    assert s["has_image"] == 0
+    assert not s["patch"].any()
+
+
+def test_decode_corrupt_patch_falls_back():
+    raw = _valid_raw(np.random.default_rng(0))
+    raw = dict(raw)
+    raw["patch.bin"] = b"\x01\x02\x03"  # wrong size, has_image=1
+    s = decode_sample(raw)
+    assert s is not None and s["has_image"] == 0 and not s["patch"].any()
+
+
+def test_patch_row_image_roundtrip():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (3, 224, 224)).astype(np.uint8)
+    rows = image_to_patch_rows(img)
+    assert rows.shape == (196, 768)
+    np.testing.assert_array_equal(patch_rows_to_image(rows), img)
+
+
+# ---------------------------------------------------------------------------
+# sentence splitter
+# ---------------------------------------------------------------------------
+
+def test_sentence_splitter_basics():
+    assert split_sentences("") == []
+    assert split_sentences("One sentence") == ["One sentence"]
+    got = split_sentences("First one. Second here! Third? Yes.")
+    assert got == ["First one.", "Second here!", "Third?", "Yes."]
+
+
+def test_sentence_splitter_abbreviations():
+    got = split_sentences("I met Dr. Smith today. He was kind.")
+    assert got == ["I met Dr. Smith today.", "He was kind."]
+    got = split_sentences("Price was 3.99 dollars. Cheap.")
+    assert got == ["Price was 3.99 dollars.", "Cheap."]
+
+
+# ---------------------------------------------------------------------------
+# WordPiece parity vs HF BertTokenizer (custom offline vocab)
+# ---------------------------------------------------------------------------
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "the", "bike", "helmet", "was", "great", "##s", "##ed", "##ing",
+         "fit", "strap", "broke", "a", "good", "bad", "un", "##break",
+         "##able", ",", ".", "!", "?", "'", "19", "##99", "price", "do",
+         "##n", "not", "buy"]
+
+
+def _vocab_file(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    return str(p)
+
+
+def test_wordpiece_matches_hf_bert_tokenizer(tmp_path):
+    from transformers import BertTokenizer
+    path = _vocab_file(tmp_path)
+    hf = BertTokenizer(path, do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(path)
+    texts = [
+        "The bike helmet was great.",
+        "Unbreakable straps, fits!  Broken?",
+        "Don't buy. Price was 1999...",
+        "THE BIKES were GREAT!!!",
+        "weird unicode éè café — dash",
+        "",
+    ]
+    for t in texts:
+        want = hf.encode(t, add_special_tokens=False)
+        got = ours.encode(t)
+        assert got == want, (t, got, want)
+
+
+def test_wordpiece_truncation_matches_hf(tmp_path):
+    from transformers import BertTokenizer
+    path = _vocab_file(tmp_path)
+    hf = BertTokenizer(path, do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(path)
+    t = "the bike helmet was great " * 50
+    want = hf.encode(t, add_special_tokens=False, max_length=17,
+                     truncation=True)
+    assert ours.encode(t, max_length=17) == want
+
+
+# ---------------------------------------------------------------------------
+# packer semantics (ref model.py:29-117 quirks)
+# ---------------------------------------------------------------------------
+
+class TinyTok:
+    """Deterministic word->id tokenizer: each word encodes to one id."""
+    pad_id, unk_id, cls_id, sep_id = 0, 1, 2, 3
+    vocab_size = 50
+
+    def __init__(self):
+        self.sent_id = self.vocab_size  # added token beyond base vocab
+
+    def encode(self, text, max_length=None):
+        ids = [4 + (hash(w) % 40) for w in text.split()]
+        return ids[:max_length] if max_length is not None else ids
+
+
+def _mk_packer(max_tok=12, max_chunks=2, sents=8):
+    cfg = PackerConfig(max_tok=max_tok, max_chunks_per_sample=max_chunks,
+                       fixed_sent_count=sents)
+    return TextPacker(TinyTok(), cfg, splitter=split_sentences)
+
+
+def test_packer_shapes_and_padding():
+    p = _mk_packer()
+    out = p.pack(["One two three. Four five.", ""])
+    assert out.tokens.shape == (4, 12)        # B * max_chunks rows
+    assert out.sent_chunk.shape == (2, 8)
+    # sample 1 is empty: no sentences, no chunks
+    assert (out.sent_chunk[1] == -1).all()
+    # sample 0: both sentences fit chunk 0 (3+1 + 2+1 = 7 <= pad_limit 10)
+    assert out.n_chunks == 1
+    assert list(out.sent_chunk[0][:2]) == [0, 0]
+    # positions: CLS at 0; <SENT> at 1 and 5 (+1 shift applied)
+    assert list(out.sent_tok[0][:2]) == [1, 5]
+
+
+def test_packer_sent_marker_clamped_to_pad():
+    """The <SENT> id (>= vocab_size) must be clamped to PAD in the token rows
+    (ref model.py:101-109) while sent_tok still points at those slots."""
+    p = _mk_packer()
+    out = p.pack(["One two three. Four five."])
+    row = out.tokens[0]
+    assert row[0] == TinyTok.cls_id
+    assert row[1] == TinyTok.pad_id          # clamped <SENT>
+    assert row[5] == TinyTok.pad_id          # clamped <SENT>
+    assert row[4] != TinyTok.pad_id          # real word ids survive
+    assert row[8] == TinyTok.sep_id
+
+
+def test_packer_overflow_flush_and_drop():
+    """pad_limit=10: sentences of 6 ids (5 words + marker) overflow after one
+    per chunk; with max_chunks=2 the third sentence triggers a flush to
+    chunk 2 == max and is silently dropped (ref model.py:57-94)."""
+    p = _mk_packer(max_tok=12, max_chunks=2)
+    text = "aa bb cc dd ee. ff gg hh ii jj. kk ll mm nn oo."
+    out = p.pack([text])
+    assert out.n_chunks == 2
+    # 2 sentences recorded (one per chunk), third dropped
+    assert (out.sent_chunk[0][:2] >= 0).all()
+    assert (out.sent_chunk[0][2:] == -1).all()
+    assert list(out.sent_tok[0][:2]) == [1, 1]
+
+
+def test_packer_truncates_to_fixed_sent_count():
+    p = _mk_packer(max_tok=64, max_chunks=4, sents=3)
+    text = " ".join(f"word{i} thing." for i in range(10))  # 10 sentences
+    out = p.pack([text])
+    assert (out.sent_chunk[0] >= 0).all()     # capped at 3
+    assert out.sent_chunk.shape == (1, 3)
+
+
+def test_packer_long_sentence_truncated():
+    """A sentence longer than pad_limit-1 ids truncates, not crashes
+    (ref model.py:60-65)."""
+    p = _mk_packer(max_tok=12, max_chunks=2)
+    out = p.pack(["aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt."])
+    assert out.n_chunks == 1
+    row = out.tokens[0]
+    assert row[0] == TinyTok.cls_id
+    assert (row != TinyTok.pad_id).sum() == 11  # CLS + 9 words + SEP (marker clamped)
+
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+def test_split_shards_round_robin():
+    paths = [f"s{i}" for i in range(7)]
+    a = split_shards(paths, 0, 2)
+    b = split_shards(paths, 1, 2)
+    assert sorted(a + b) == sorted(paths)
+    assert not set(a) & set(b)
+
+
+def test_iter_decoded_and_eval_loader(tmp_path):
+    paths = write_synthetic_shards(str(tmp_path), n_samples=20,
+                                   samples_per_shard=8, seed=3)
+    samples = list(iter_decoded(paths))
+    assert len(samples) == 20
+    packer = _mk_packer(max_tok=32, max_chunks=2)
+    loader = make_eval_loader(paths, batch_size=8, packer=packer)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["user_tokens"].shape == (16, 32)
+    assert batches[0]["patches"].shape == (8, 196, 768)
+    assert batches[0]["valid"].all()
+    # final partial batch: 4 valid, padded to 8
+    assert batches[2]["valid"].sum() == 4
+    assert batches[2]["label_good"].shape == (8,)
+
+
+def test_train_batches_are_full_and_shuffled(tmp_path):
+    paths = write_synthetic_shards(str(tmp_path), n_samples=30,
+                                   samples_per_shard=10, seed=4)
+    packer = _mk_packer(max_tok=32, max_chunks=2)
+    it = iter_decoded(paths, shuffle=True, shuffle_buffer=16, repeat=True,
+                      seed=1)
+    loader = BatchLoader(it, 8, packer, num_prefetch=2)
+    got = []
+    for i, b in enumerate(loader):
+        got.append(b)
+        if i == 5:  # > one epoch worth (30 samples) proves repeat works
+            break
+    loader.close()
+    assert all(b["valid"].all() for b in got)
+    assert got[0]["user_tokens"].shape == (16, 32)
