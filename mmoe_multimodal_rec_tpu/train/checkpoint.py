@@ -1,0 +1,94 @@
+"""Orbax checkpointing with true RESUME.
+
+The reference can only *save* (torch.save per epoch, train.py:351-363); its
+trainers have no restore path at all (SURVEY §5).  Here the full training
+state — trainable + frozen params, BN stats, optimizer state, step counter,
+data-loader position, RNG key — round-trips through orbax, so a preempted run
+continues exactly where it stopped (the TPU-pod failure-recovery story).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import traverse_util
+
+_SEP = "|"
+
+
+def _stringify(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
+    return {_SEP.join(k): v for k, v in flat.items()}
+
+
+def _tuplify(d: Dict[str, Any]) -> Dict[Tuple[str, ...], Any]:
+    return {tuple(k.split(_SEP)): v for k, v in d.items()}
+
+
+def state_to_saveable(state, extra: Optional[Dict[str, Any]] = None) -> Dict:
+    out = {
+        "step": state.step,
+        "trainable": _stringify(state.trainable),
+        "frozen": _stringify(state.frozen),
+        "batch_stats": state.batch_stats or {},
+        "opt_state": state.opt_state,
+        "extra": extra or {},
+    }
+    return out
+
+
+def saveable_to_state(saved: Dict, state_template):
+    """Rebuild a TrainState from the saved tree, using the template for
+    structure (opt_state pytree defs)."""
+    return state_template.replace(
+        step=jax.numpy.asarray(saved["step"]),
+        trainable=_tuplify(saved["trainable"]),
+        frozen=_tuplify(saved["frozen"]),
+        batch_stats=saved["batch_stats"] or {},
+        opt_state=jax.tree.unflatten(
+            jax.tree.structure(state_template.opt_state),
+            jax.tree.leaves(saved["opt_state"])),
+    ), saved.get("extra", {})
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True))
+
+    def save(self, step: int, state, extra: Optional[Dict] = None,
+             wait: bool = False) -> None:
+        payload = state_to_saveable(state, extra)
+        self._mngr.save(step, args=ocp.args.StandardSave(payload))
+        if wait:
+            self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None, None
+        template = state_to_saveable(state_template, extra={})
+        # restore with abstract template so dtypes/shapes are validated
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct
+                                if hasattr(ocp.utils, "to_shape_dtype_struct")
+                                else (lambda x: x), template)
+        try:
+            saved = self._mngr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        except Exception:
+            saved = self._mngr.restore(step)
+        state, extra = saveable_to_state(saved, state_template)
+        return state, extra
+
+    def close(self):
+        self._mngr.wait_until_finished()
+        self._mngr.close()

@@ -1,0 +1,173 @@
+"""Training-layer tests: losses vs torch, optimizer partitioning/schedules,
+end-to-end tiny train steps (baseline + HoME), NaN-skip, checkpoint resume."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from mmoe_multimodal_rec_tpu.train import (CheckpointManager, Trainer,
+                                           contrastive_loss, label_param,
+                                           weighted_bce_with_logits)
+from mmoe_multimodal_rec_tpu.train.optimizer import freeze_warmup_schedule
+from util import stacked_batch, tiny_config
+
+
+# ---------------------------------------------------------------------------
+# losses vs torch
+# ---------------------------------------------------------------------------
+
+def test_weighted_bce_matches_torch():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=32).astype(np.float32) * 3
+    labels = (rng.random(32) < 0.4).astype(np.float32)
+    for pw in (0.867, 2.554, 1.0):
+        want = torch.nn.BCEWithLogitsLoss(
+            pos_weight=torch.tensor(pw))(torch.tensor(logits),
+                                         torch.tensor(labels))
+        got = weighted_bce_with_logits(jnp.asarray(logits),
+                                       jnp.asarray(labels), pw)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_contrastive_matches_torch():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(8, 16)).astype(np.float32)
+    p = rng.normal(size=(8, 16)).astype(np.float32)
+    at, pt = torch.tensor(a), torch.tensor(p)
+    an = torch.nn.functional.normalize(at, p=2, dim=1)
+    pn = torch.nn.functional.normalize(pt, p=2, dim=1)
+    sim = an @ pn.t() / 0.07
+    want = torch.nn.functional.cross_entropy(sim, torch.arange(8))
+    got = contrastive_loss(jnp.asarray(a), jnp.asarray(p), 0.07)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# optimizer partitioning + schedule
+# ---------------------------------------------------------------------------
+
+def test_label_param_groups():
+    assert label_param(("user_expert", "encoder", "layer_0", "attention",
+                        "query", "lora_a"), "baseline") == "lora"
+    assert label_param(("cross_ui", "pool", "query"), "baseline") == "other"
+    assert label_param(("head", "tower_good", "fc1", "kernel"),
+                       "baseline") == "other"
+    # reference quirk: baseline text-expert final norm is in NO group
+    assert label_param(("user_expert", "norm", "scale"),
+                       "baseline") == "frozen"
+    # baseline img expert fully frozen (train.py:135)
+    assert label_param(("img_expert", "backbone", "layer_11", "mlp", "fc1",
+                        "kernel"), "baseline") == "frozen"
+    # HoME: ViT last-2 layers + projection head train (train_HoME.py:230-243)
+    assert label_param(("img_expert", "backbone", "layer_11", "mlp", "fc1",
+                        "kernel"), "home") == "img_ft"
+    assert label_param(("img_expert", "backbone", "layer_9", "mlp", "fc1",
+                        "kernel"), "home") == "frozen"
+    assert label_param(("img_expert", "projection_head", "fc1", "kernel"),
+                       "home") == "img_ft"
+    assert label_param(("u_doc_wrapper", "norm", "scale"), "home") == "other"
+
+
+def test_freeze_warmup_schedule():
+    s = freeze_warmup_schedule(2e-5, freeze_steps=2000, unfreeze_steps=1200)
+    assert float(s(0)) == 0.0
+    assert float(s(2000)) == 0.0
+    np.testing.assert_allclose(float(s(2600)), 2e-5 * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(s(3200)), 2e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(s(9999)), 2e-5, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end tiny training steps
+# ---------------------------------------------------------------------------
+
+def _flat_array_equal(a, b):
+    return all(np.array_equal(np.asarray(a[k]), np.asarray(b[k])) for k in a)
+
+
+def test_train_step_baseline_updates_correct_groups():
+    cfg = tiny_config("baseline")
+    trainer = Trainer(cfg)
+    before_trainable = {k: np.asarray(v) for k, v in
+                        trainer.state.trainable.items()}
+    before_frozen = {k: np.asarray(v) for k, v in
+                     trainer.state.frozen.items()}
+    m = trainer.run_step(stacked_batch(cfg, seed=0))
+    assert np.isfinite(float(m["loss"]))
+    assert int(m["skipped_micro"]) == 0
+    assert int(trainer.state.step) == 1
+    # frozen untouched
+    assert _flat_array_equal(before_frozen, trainer.state.frozen)
+    # "other" group moved
+    other_keys = [k for k in before_trainable
+                  if label_param(k, "baseline") == "other"]
+    assert any(not np.array_equal(before_trainable[k],
+                                  np.asarray(trainer.state.trainable[k]))
+               for k in other_keys)
+    # lora frozen at lr=0 for the first freeze_steps optimizer steps
+    lora_keys = [k for k in before_trainable
+                 if label_param(k, "baseline") == "lora"]
+    assert all(np.array_equal(before_trainable[k],
+                              np.asarray(trainer.state.trainable[k]))
+               for k in lora_keys)
+    # ... and moves once past the freeze horizon (freeze=2, warm=2)
+    for s in range(4):
+        trainer.run_step(stacked_batch(cfg, seed=s + 1))
+    assert any(not np.array_equal(before_trainable[k],
+                                  np.asarray(trainer.state.trainable[k]))
+               for k in lora_keys)
+
+
+def test_train_step_nan_batch_skipped():
+    cfg = tiny_config("baseline")
+    trainer = Trainer(cfg)
+    good = stacked_batch(cfg, seed=0)
+    trainer.run_step(good)
+    before = {k: np.asarray(v) for k, v in trainer.state.trainable.items()}
+    step_before = int(trainer.state.step)
+    bad = dict(good)
+    bad["label_good"] = np.full_like(good["label_good"], np.nan)
+    m = trainer.run_step(bad)
+    assert int(m["skipped_micro"]) == cfg.train.optim.grad_accum
+    assert int(trainer.state.step) == step_before  # update skipped
+    assert _flat_array_equal(before, trainer.state.trainable)
+
+
+def test_train_step_home_updates_bn_stats():
+    cfg = tiny_config("home")
+    trainer = Trainer(cfg)
+    stats_before = jax.tree.map(np.asarray, trainer.state.batch_stats)
+    m = trainer.run_step(stacked_batch(cfg, seed=0))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["contrastive_loss"]) > 0.0
+    after = trainer.state.batch_stats
+    changed = jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        stats_before, after))
+    assert not changed  # BN running stats moved
+    # ViT last-2 layers flagged for fine-tune exist in trainable set
+    assert any(label_param(k, "home") == "img_ft"
+               for k in trainer.state.trainable)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config("baseline")
+    trainer = Trainer(cfg)
+    trainer.run_step(stacked_batch(cfg, seed=0))
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(int(trainer.state.step), trainer.state,
+              extra={"epoch": 1}, wait=True)
+    trainer2 = Trainer(cfg)
+    restored, extra = mngr.restore(trainer2.state)
+    assert restored is not None
+    assert int(restored.step) == int(trainer.state.step)
+    assert extra["epoch"] == 1
+    assert _flat_array_equal(
+        {k: np.asarray(v) for k, v in trainer.state.trainable.items()},
+        restored.trainable)
+    # restored state steps fine
+    trainer2.state = restored
+    m = trainer2.run_step(stacked_batch(cfg, seed=5))
+    assert np.isfinite(float(m["loss"]))
+    mngr.close()
