@@ -236,6 +236,51 @@ class Config:
         return cfg.override(**overrides) if overrides else cfg
 
 
+def tiny_config(variant: str = "baseline", batch_size: int = 4,
+                accum: int = 2, data_parallel: int = 2,
+                model_parallel: int = 1) -> Config:
+    """Small-dims config for tests / multi-chip dryruns (full architecture,
+    tiny widths)."""
+    cfg = Config()
+    m = cfg.model
+    m.variant = variant
+    m.d = 32
+    m.compute_dtype = "float32"
+    m.use_flash_attention = False
+    m.cross_heads = 4
+    m.fuse_heads = 4
+    m.tower_hidden = 16
+    m.home_tower_hidden = 16
+    m.home_expert_hidden = 24
+    t = m.text
+    t.vocab_size = 201
+    t.hidden_size = 32
+    t.num_layers = 2
+    t.num_heads = 4
+    t.intermediate_size = 64
+    t.max_position_embeddings = 48
+    t.lora_rank = 2
+    i = m.image
+    i.hidden_size = 32
+    i.num_layers = 2
+    i.num_heads = 4
+    i.intermediate_size = 64
+    p = m.packer
+    p.max_tok = 24
+    p.max_chunks_per_sample = 2
+    p.fixed_sent_count = 6
+    tr = cfg.train
+    tr.batch_size = batch_size
+    tr.optim.grad_accum = accum
+    tr.optim.freeze_steps = 2
+    tr.optim.unfreeze_steps = 2
+    tr.optim.home_freeze_steps = 2
+    tr.optim.home_unfreeze_steps = 2
+    tr.mesh.data_parallel = data_parallel
+    tr.mesh.model_parallel = model_parallel
+    return cfg
+
+
 def _from_dict(cls, d):
     if not dataclasses.is_dataclass(cls):
         return d

@@ -1,0 +1,123 @@
+"""Evaluation drivers: streaming jit eval + AUC/ROC artifacts + HoME
+BatchNorm recalibration.
+
+Replaces inference_and_auc.py (baseline) and infer_auc_HoME (HoME).  The
+forward runs as ONE jit program per batch on static shapes (the eval loader
+pads the trailing batch and provides a `valid` mask instead of letting the
+shape shrink, which would recompile under XLA).
+
+BN recalibration (ref infer_auc_HoME:64-125): stream `recal_batches` batches
+through the full forward with only the BatchNorm running statistics mutable —
+weights untouched, dropout off — then evaluate with the refreshed statistics.
+The reference hardcodes total_samples=22281 (infer_auc_HoME:166); here the
+count is a config/argument.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.loader import make_eval_loader
+from ..data.packer import TextPacker
+from ..data.wordpiece import load_tokenizer
+from ..models.mmoe import MMoERecModel
+from ..train.step import make_bn_recalibration_step, make_eval_step
+from ..utils.plotting import plot_roc
+from .auc import StreamingPredictions, roc_curve
+
+
+def recalibrate_bn(cfg: Config, model: MMoERecModel, trainable, frozen,
+                   batch_stats, shard_paths: Sequence[str],
+                   packer: TextPacker, total_samples: int,
+                   bn_batch_size: int = 128):
+    """Refresh BN running stats over ceil(total/bn_batch) eval batches."""
+    recal_step = jax.jit(make_bn_recalibration_step(cfg, model))
+    max_batches = math.ceil(total_samples / bn_batch_size)
+    loader = make_eval_loader(shard_paths, bn_batch_size, packer,
+                              chunk_budget=cfg.model.packer.chunk_budget)
+    seen = 0
+    try:
+        for batch in loader:
+            batch_stats = recal_step(trainable, frozen, batch_stats, batch)
+            seen += 1
+            if seen >= max_batches:
+                break
+    finally:
+        loader.close()
+    return batch_stats
+
+
+def evaluate(cfg: Config, model: MMoERecModel, trainable, frozen,
+             batch_stats, shard_paths: Sequence[str],
+             packer: Optional[TextPacker] = None,
+             batch_size: Optional[int] = None,
+             recalibrate: bool = False,
+             recal_total_samples: Optional[int] = None,
+             bn_batch_size: int = 128,
+             output_dir: Optional[str] = None,
+             save_preds: Optional[str] = None) -> Dict[str, float]:
+    """Full eval pass -> {'good': auc, 'best': auc, 'n': count}."""
+    packer = packer or TextPacker(load_tokenizer(cfg.data.vocab_path),
+                                  cfg.model.packer)
+    batch_size = batch_size or cfg.train.batch_size
+    if recalibrate:
+        batch_stats = recalibrate_bn(
+            cfg, model, trainable, frozen, batch_stats, shard_paths, packer,
+            recal_total_samples or 22281, bn_batch_size)
+
+    eval_step = jax.jit(make_eval_step(cfg, model))
+    preds = StreamingPredictions()
+    loader = make_eval_loader(shard_paths, batch_size, packer,
+                              chunk_budget=cfg.model.packer.chunk_budget)
+    try:
+        for batch in loader:
+            out = eval_step(trainable, frozen, batch_stats, batch)
+            preds.update(jax.tree.map(np.asarray, out))
+    finally:
+        loader.close()
+
+    aucs = preds.aucs()
+    result = {"good": aucs["good"], "best": aucs["best"], "n": preds.n}
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        curves = {}
+        for task in ("good", "best"):
+            labels, probs = preds.concatenated(task)
+            if len(np.unique(labels)) == 2:
+                fpr, tpr, _ = roc_curve(labels, probs)
+                curves[task] = (fpr, tpr, aucs[task])
+        if curves:
+            plot_roc(curves, output_dir)
+        if save_preds:
+            import csv
+            lg, pg = preds.concatenated("good")
+            lb, pb = preds.concatenated("best")
+            with open(os.path.join(output_dir, save_preds), "w",
+                      newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["prob_good", "label_good",
+                            "prob_best", "label_best"])
+                for row in zip(pg, lg, pb, lb):
+                    w.writerow([f"{row[0]:.6f}", int(row[1]),
+                                f"{row[2]:.6f}", int(row[3])])
+    return result
+
+
+def evaluate_from_config(cfg: Config, state, recalibrate: bool = False
+                         ) -> Dict[str, float]:
+    """Eval entry taking a TrainState (post-training or restored)."""
+    import glob
+    shards = sorted(glob.glob(cfg.data.valid_pattern))
+    if not shards:
+        raise FileNotFoundError(f"no shards match {cfg.data.valid_pattern!r}")
+    model = MMoERecModel(cfg.model)
+    return evaluate(cfg, model, state.trainable, state.frozen,
+                    state.batch_stats, shards,
+                    recalibrate=recalibrate,
+                    output_dir=cfg.train.output_dir,
+                    save_preds="preds.csv")
