@@ -1,0 +1,152 @@
+"""Benchmark: training-step examples/sec/chip on the flagship baseline MMoE.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/sec/chip", "vs_baseline": N}
+
+Workload == the reference's training step (train.py:218-288): per example,
+two LoRA-BERT-base encoders over the packed text chunks (~2 chunks x 384
+tokens/side on real review data), frozen ViT-base over 196 patch rows, the
+cross/fuse experts and the dense-gated two-task head, full backward over the
+trainable groups, AdamW update.  Synthetic token/patch data (device-side
+throughput; host tokenization runs overlapped in loader threads and is
+benchmarked separately in tests).
+
+vs_baseline: the reference never published throughput (SURVEY §6 — no
+benchmarks/ dir, no wall-clock anywhere).  BASELINE.md's setup implies a
+2xA100-80GB DDP run at batch 128/GPU with synchronous host-side NLTK+HF
+tokenization inside the step loop (train.py:236-239) and fp16 autocast.  We
+estimate the reference at 40 examples/sec/GPU: ~170 TFLOP-equivalent text
+fwd+bwd per 128-example micro-batch at a generous 35% A100 MFU (~1.6 s)
+plus >=1.5 s synchronous CPU tokenization of 256 documents per step
+(README.md:317 calls CPU preprocessing the bottleneck even after the 50x
+NLTK switch).  vs_baseline = value / 40.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+REFERENCE_EXAMPLES_PER_SEC_PER_CHIP = 40.0  # documented estimate, see above
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--variant", type=str, default="baseline")
+    ap.add_argument("--chunks-per-sample", type=float, default=2.0,
+                    help="avg packed chunks/side (review text packs to ~1-2; "
+                         "reference cap is 4)")
+    ap.add_argument("--mode", type=str, default="train",
+                    choices=["train", "infer"])
+    ap.add_argument("--platform", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import numpy as np
+
+    from mmoe_multimodal_rec_tpu.config import Config
+    from mmoe_multimodal_rec_tpu.models.mmoe import MMoERecModel
+    from mmoe_multimodal_rec_tpu.train.loop import Trainer, dummy_batch
+    from mmoe_multimodal_rec_tpu.parallel.mesh import make_mesh
+
+    n_chips = 1  # bench runs single-chip; metric is per chip
+
+    cfg = Config()
+    cfg.model.variant = args.variant
+    cfg.model.remat = True
+    cfg.train.batch_size = args.batch
+    cfg.train.optim.grad_accum = args.accum
+    cfg.model.packer.chunk_budget = int(args.batch * args.chunks_per_sample)
+    cfg.train.mesh.data_parallel = 1
+    cfg.train.mesh.model_parallel = 1
+
+    mesh = make_mesh(cfg.train.mesh, devices=jax.devices()[:1])
+
+    rng = np.random.default_rng(0)
+    b, n = args.batch, cfg.model.packer.chunk_budget
+    s = cfg.model.packer.fixed_sent_count
+    L = cfg.model.packer.max_tok
+
+    def random_batch(seed):
+        r = np.random.default_rng(seed)
+        batch = dummy_batch(cfg, batch_size=b)
+        for side in ("user", "item"):
+            batch[f"{side}_tokens"] = r.integers(
+                999, 30000, (n, L)).astype(np.int32)
+            # ~8 sentences/sample routed into its 2 chunks
+            chunks = (np.arange(b) * (n // b))[:, None] + \
+                r.integers(0, max(n // b, 1), (b, 8))
+            batch[f"{side}_sent_chunk"][:, :8] = chunks.astype(np.int32)
+            batch[f"{side}_sent_tok"][:, :8] = r.integers(
+                1, L - 1, (b, 8)).astype(np.int32)
+        batch["patches"] = r.integers(0, 256, (b, 196, 768)).astype(np.uint8)
+        batch["has_image"] = (r.random(b) < 0.8).astype(np.int32)
+        batch["label_good"] = (r.random(b) < 0.5).astype(np.float32)
+        batch["label_best"] = (r.random(b) < 0.3).astype(np.float32)
+        return batch
+
+    if args.mode == "train":
+        trainer = Trainer(cfg, mesh=mesh)
+        stacked = {k: np.broadcast_to(
+            v, (args.accum,) + v.shape).copy()
+            for k, v in random_batch(0).items()}
+
+        def step():
+            return trainer.run_step(stacked)
+
+        # warmup (includes compile)
+        t_compile = time.perf_counter()
+        for _ in range(args.warmup):
+            m = step()
+        jax.block_until_ready(m["loss"])
+        compile_s = time.perf_counter() - t_compile
+
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            m = step()
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        examples = args.steps * args.accum * args.batch
+        metric = "train_examples_per_sec_per_chip"
+    else:
+        model = MMoERecModel(cfg.model)
+        batch = random_batch(0)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+
+        @jax.jit
+        def fwd(variables, batch):
+            out = model.apply(variables, batch, deterministic=True)
+            return out.logit_good, out.logit_best
+
+        t_compile = time.perf_counter()
+        for _ in range(args.warmup):
+            out = fwd(variables, batch)
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t_compile
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = fwd(variables, batch)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        examples = args.steps * args.batch
+        metric = "infer_examples_per_sec_per_chip"
+
+    value = examples / dt / n_chips
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

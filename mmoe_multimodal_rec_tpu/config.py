@@ -109,6 +109,8 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # replaces CUDA AMP fp16 (ref train.py:241)
     param_dtype: str = "float32"
     use_flash_attention: bool = True # Pallas fused attention on TPU
+    remat: bool = False              # jax.checkpoint each encoder layer
+                                     # (HBM <-> FLOPs trade, SURVEY build note)
 
 
 @dataclass

@@ -28,7 +28,7 @@ class BertLayer(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, pad_mask: Optional[Array], *,
+    def __call__(self, x: Array, pad_mask: Optional[Array],
                  deterministic: bool = True) -> Array:
         cfg = self.cfg
         h = Attention(cfg.num_heads, dropout=cfg.attention_dropout,
@@ -57,6 +57,7 @@ class BertEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_ids: Array,
@@ -85,9 +86,12 @@ class BertEncoder(nn.Module):
                          name="embeddings_norm")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         x = x.astype(self.dtype)
+        # jax.checkpoint per layer trades recompute for HBM when training
+        # full-size encoders (static_argnums: self, deterministic).
+        layer_cls = (nn.remat(BertLayer, static_argnums=(3,))
+                     if self.remat else BertLayer)
         for i in range(cfg.num_layers):
-            x = BertLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+            x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash,
-                          name=f"layer_{i}")(x, pad_mask,
-                                             deterministic=deterministic)
+                          name=f"layer_{i}")(x, pad_mask, deterministic)
         return x

@@ -41,12 +41,13 @@ class ItemImageExpert(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, patches: Array, *, deterministic: bool = True) -> Array:
         tokens = ViTEncoder(self.cfg, dtype=self.dtype,
                             param_dtype=self.param_dtype,
-                            use_flash=self.use_flash,
+                            use_flash=self.use_flash, remat=self.remat,
                             name="backbone")(patches,
                                              deterministic=deterministic)
         if self.cfg.pool_type == "mean":
@@ -66,13 +67,14 @@ class ImageExpertWithProjection(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, patches: Array, *, deterministic: bool = True
                  ) -> Tuple[Array, Array]:
         tokens = ViTEncoder(self.cfg, dtype=self.dtype,
                             param_dtype=self.param_dtype,
-                            use_flash=self.use_flash,
+                            use_flash=self.use_flash, remat=self.remat,
                             name="backbone")(patches,
                                              deterministic=deterministic)
         img_vec = tokens[:, 0]

@@ -64,13 +64,14 @@ class MMoERecModel(nn.Module):
 
         common = dict(dtype=dtype, param_dtype=pdtype,
                       use_flash=cfg.use_flash_attention)
+        enc_common = dict(common, remat=cfg.remat)
 
         user_expert = TextExpert(cfg.text, cfg.packer.fixed_sent_count,
                                  dropout=cfg.dropout, final_norm=not home,
-                                 name="user_expert", **common)
+                                 name="user_expert", **enc_common)
         item_expert = TextExpert(cfg.text, cfg.packer.fixed_sent_count,
                                  dropout=cfg.dropout, final_norm=not home,
-                                 name="item_expert", **common)
+                                 name="item_expert", **enc_common)
 
         u_sent, u_mask, u_doc = user_expert(
             batch["user_tokens"], batch["user_sent_chunk"],
@@ -83,11 +84,11 @@ class MMoERecModel(nn.Module):
         projected_img = None
         if home:
             img_vec, projected_img = ImageExpertWithProjection(
-                cfg.image, name="img_expert", **common)(
+                cfg.image, name="img_expert", **enc_common)(
                 patches, deterministic=deterministic)
         else:
             img_vec = ItemImageExpert(cfg.image, dropout=cfg.dropout,
-                                      name="img_expert", **common)(
+                                      name="img_expert", **enc_common)(
                 patches, deterministic=deterministic)
 
         ui_vec = RobustTextCrossExpert(

@@ -38,6 +38,7 @@ class TextExpert(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, tokens: Array, sent_chunk: Array, sent_tok: Array, *,
@@ -54,6 +55,7 @@ class TextExpert(nn.Module):
         b, s = sent_chunk.shape
         h = BertEncoder(self.cfg, dtype=self.dtype,
                         param_dtype=self.param_dtype, use_flash=self.use_flash,
+                        remat=self.remat,
                         name="encoder")(tokens, deterministic=deterministic)
         d = h.shape[-1]
 

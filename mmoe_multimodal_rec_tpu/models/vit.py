@@ -27,7 +27,7 @@ class ViTLayer(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
         cfg = self.cfg
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="norm1")(x)
@@ -55,6 +55,7 @@ class ViTEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, patches: Array, *, deterministic: bool = True) -> Array:
@@ -63,19 +64,25 @@ class ViTEncoder(nn.Module):
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype,
                      param_dtype=self.param_dtype,
                      name="patch_embed")(patches.astype(self.dtype))
-        cls = self.param("cls_token", nn.initializers.zeros,
+        # HF ViT inits cls/pos with trunc-normal(0.02) — NOT zeros; a zero
+        # init would map zero-image samples to exactly-zero CLS vectors.
+        cls = self.param("cls_token",
+                         nn.initializers.truncated_normal(0.02),
                          (1, 1, cfg.hidden_size), self.param_dtype)
         x = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, cfg.hidden_size)), x],
             axis=1)
-        pos = self.param("pos_embed", nn.initializers.zeros,
+        pos = self.param("pos_embed",
+                         nn.initializers.truncated_normal(0.02),
                          (1, cfg.num_patches + 1, cfg.hidden_size),
                          self.param_dtype)
         x = x + pos.astype(x.dtype)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        layer_cls = (nn.remat(ViTLayer, static_argnums=(2,))
+                     if self.remat else ViTLayer)
         for i in range(cfg.num_layers):
-            x = ViTLayer(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-                         use_flash=self.use_flash,
-                         name=f"layer_{i}")(x, deterministic=deterministic)
+            x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                          use_flash=self.use_flash,
+                          name=f"layer_{i}")(x, deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                             name="final_norm")(x)

@@ -57,6 +57,16 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, *, block_q: int,
     else:
         pad_mask = pad_mask.astype(jnp.int8)
 
+    # Lane/sublane alignment: pad K/V length to a 128 multiple (padded keys
+    # are masked out), pad Q length to the q-block size.
+    pad_lk = -(-lk // 128) * 128
+    if pad_lk != lk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_lk - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_lk - lk), (0, 0)))
+        pad_mask = jnp.pad(pad_mask, ((0, 0), (0, pad_lk - lk)),
+                           constant_values=1)
+        lk = pad_lk
+
     bq = min(block_q, lq)
     nq = pl.cdiv(lq, bq)
     pad_lq = nq * bq

@@ -40,8 +40,10 @@ def contrastive_loss(anchor: Array, positive: Array,
     """In-batch InfoNCE with the diagonal as positives."""
     a = anchor.astype(jnp.float32)
     p = positive.astype(jnp.float32)
-    a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-    p = p / jnp.maximum(jnp.linalg.norm(p, axis=1, keepdims=True), 1e-12)
+    # rsqrt(sum^2 + eps) instead of /max(norm, eps): the latter has a NaN
+    # gradient at exactly-zero rows (d||x||/dx = x/||x|| = 0/0).
+    a = a * jax.lax.rsqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-12)
+    p = p * jax.lax.rsqrt(jnp.sum(p * p, axis=1, keepdims=True) + 1e-12)
     sim = (a @ p.T) / temperature
     labels = jnp.arange(sim.shape[0])
     logz = jax.nn.logsumexp(sim, axis=1)
