@@ -36,7 +36,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    mask = mask_ref[0, :]                       # [Lk] int8
+    mask = mask_ref[0, 0, :]                    # [Lk] int8
     scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
@@ -84,7 +84,7 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, *, block_q: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk), lambda bi, hi, qi: (bi, 0),
+            pl.BlockSpec((1, 1, lk), lambda bi, hi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, dh),
@@ -96,7 +96,7 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, *, block_q: int,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * h * pad_lq * lk),
         interpret=interpret,
-    )(q, k, v, pad_mask)
+    )(q, k, v, pad_mask[:, None, :])
     if pad_lq != lq:
         out = out[:, :, :lq]
     return out
