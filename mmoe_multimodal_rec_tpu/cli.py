@@ -1,0 +1,220 @@
+"""Command-line entrypoints.
+
+Replaces the reference's per-script argparse mains:
+  train        ~ train.py / train_HoME.py   (variant via --model.variant=home)
+  eval         ~ inference_and_auc.py / infer_auc_HoME (--recalibrate-bn)
+  features     ~ data4moe_beam.py
+  build-dataset~ data4model.py
+  patches      ~ newpatch.py
+  ingest-meta / ingest-reviews ~ meta2gcs.py / review2gcs.py
+  synth        ~ (new) synthetic shard generator for smoke runs
+
+All hyperparameters ride the dotted config flags, e.g.
+  python -m mmoe_multimodal_rec_tpu train --data.train_pattern='shards/*.tar.gz' \
+      --train.batch_size=128 --model.variant=home
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+from typing import List, Optional
+
+from .config import Config
+
+
+def _split_flags(argv: List[str]):
+    """Separate --a.b=c config overrides from plain args."""
+    cfg_flags, rest = [], []
+    for a in argv:
+        (cfg_flags if (a.startswith("--") and "=" in a and
+                       "." in a.split("=")[0]) else rest).append(a)
+    return cfg_flags, rest
+
+
+def cmd_train(argv: List[str]) -> int:
+    cfg_flags, _ = _split_flags(argv)
+    cfg = Config.from_flags(cfg_flags)
+    from .train.loop import train_from_config
+    result = train_from_config(cfg)
+    print(json.dumps({"examples_per_sec": result["examples_per_sec"],
+                      "epoch_losses": result["epoch_losses"]["total"]}))
+    return 0
+
+
+def cmd_eval(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="orbax checkpoint dir (defaults to train.checkpoint_dir)")
+    ap.add_argument("--recalibrate-bn", action="store_true")
+    cfg_flags, rest = _split_flags(argv)
+    args = ap.parse_args(rest)
+    cfg = Config.from_flags(cfg_flags)
+
+    import jax
+    from .eval.evaluate import evaluate_from_config
+    from .train.checkpoint import CheckpointManager
+    from .train.loop import Trainer
+
+    trainer = Trainer(cfg)
+    ckpt = CheckpointManager(args.checkpoint or cfg.train.checkpoint_dir)
+    restored, _ = ckpt.restore(trainer.state)
+    if restored is not None:
+        trainer.state = restored
+        print(f"[eval] restored step={int(restored.step)}", flush=True)
+    else:
+        print("[eval] WARNING: no checkpoint found, evaluating init weights",
+              flush=True)
+    res = evaluate_from_config(cfg, trainer.state,
+                               recalibrate=args.recalibrate_bn)
+    print(json.dumps({"auc_good": res["good"], "auc_best": res["best"],
+                      "n": res["n"]}))
+    return 0
+
+
+def cmd_features(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--meta", required=True, help="meta jsonl(.gz) glob")
+    ap.add_argument("--reviews", required=True, help="review jsonl(.gz) glob")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--train-end", default="2023-06-30")
+    ap.add_argument("--valid-end", default="2023-09-30")
+    ap.add_argument("--neg-k", type=int, default=5)
+    ap.add_argument("--rate-5", type=float, default=0.2)
+    args = ap.parse_args(argv)
+
+    import gzip
+    import os
+
+    def read_jsonl(pattern):
+        for path in sorted(glob.glob(pattern)):
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rt") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        try:
+                            yield json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
+
+    from .data.features import run_feature_pipeline, write_split_jsonl
+    split_rows, image_urls = run_feature_pipeline(
+        read_jsonl(args.meta), read_jsonl(args.reviews),
+        args.train_end, args.valid_end, args.neg_k, args.rate_5)
+    paths = write_split_jsonl(split_rows, args.output)
+    url_path = os.path.join(args.output, "image_urls.jsonl")
+    with open(url_path, "w") as f:
+        for rec in image_urls:
+            f.write(json.dumps(rec) + "\n")
+    print(json.dumps({"splits": sorted({s for _, s in split_rows}),
+                      "files": len(paths), "image_urls": len(image_urls)}))
+    return 0
+
+
+def cmd_build_dataset(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", required=True,
+                    help="feature-row jsonl glob (one split)")
+    ap.add_argument("--patches", default=None,
+                    help="patch jsonl(.gz) glob (optional)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--samples-per-shard", type=int, default=1024)
+    args = ap.parse_args(argv)
+
+    import gzip
+
+    def read_jsonl(pattern):
+        for path in sorted(glob.glob(pattern)):
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rt") as f:
+                for line in f:
+                    if line.strip():
+                        yield json.loads(line)
+
+    rows_by_asin = {}
+    for row in read_jsonl(args.rows):
+        rows_by_asin.setdefault(row.get("parent_asin"), []).append(row)
+    patches_by_asin = {}
+    if args.patches:
+        for rec in read_jsonl(args.patches):
+            patches_by_asin[rec["parent_asin"]] = rec
+
+    from .data.textbuild import write_dataset
+    paths = write_dataset(rows_by_asin, patches_by_asin, args.output,
+                          args.samples_per_shard)
+    print(json.dumps({"shards": len(paths)}))
+    return 0
+
+
+def cmd_patches(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="image-url jsonl glob")
+    ap.add_argument("--output", required=True, help="output jsonl.gz path")
+    args = ap.parse_args(argv)
+    from .data.patches import fetch_patches, write_patch_jsonl
+
+    def read(pattern):
+        for path in sorted(glob.glob(pattern)):
+            with open(path) as f:
+                for line in f:
+                    if line.strip():
+                        yield json.loads(line)
+
+    n = write_patch_jsonl(fetch_patches(read(args.input)), args.output)
+    print(json.dumps({"patches": n}))
+    return 0
+
+
+def cmd_ingest(argv: List[str], kind: str) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--split", default="Sports_and_Outdoors")
+    ap.add_argument("--shard-size", type=int,
+                    default=100_000 if kind == "meta" else 300_000)
+    args = ap.parse_args(argv)
+    from .data import ingest
+    fn = ingest.ingest_meta if kind == "meta" else ingest.ingest_reviews
+    paths = fn(args.output, args.split, args.shard_size)
+    print(json.dumps({"shards": len(paths)}))
+    return 0
+
+
+def cmd_synth(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--samples", type=int, default=1024)
+    ap.add_argument("--samples-per-shard", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    from .data.synthetic import write_synthetic_shards
+    paths = write_synthetic_shards(args.output, args.samples,
+                                   args.samples_per_shard, args.seed)
+    print(json.dumps({"shards": len(paths)}))
+    return 0
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "eval": cmd_eval,
+    "features": cmd_features,
+    "build-dataset": cmd_build_dataset,
+    "patches": cmd_patches,
+    "ingest-meta": lambda a: cmd_ingest(a, "meta"),
+    "ingest-reviews": lambda a: cmd_ingest(a, "reviews"),
+    "synth": cmd_synth,
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
+        print("usage: python -m mmoe_multimodal_rec_tpu "
+              f"{{{','.join(COMMANDS)}}} [flags]")
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -167,6 +167,12 @@ class TrainConfig:
     checkpoint_dir: str = "./outputs/ckpt"
     output_dir: str = "./outputs"
     resume: bool = True              # the reference can only save (SURVEY §5)
+    # jax.profiler tracing (reference has none — SURVEY §5): capture steps
+    # [profile_start, profile_start + profile_steps) of the first epoch.
+    profile: bool = False
+    profile_dir: str = "./outputs/profile"
+    profile_start: int = 3
+    profile_steps: int = 3
     optim: OptimConfig = field(default_factory=OptimConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -132,10 +132,22 @@ class Trainer:
         epoch_losses = {"total": [], "main": [], "contrastive": []}
         global_examples = accum * cfg.train.batch_size
 
+        profiling = False
+        total_opt_steps = 0
         it = iter(loader_iter)
         for epoch in range(start_epoch, epochs):
             ep_main, ep_cl, n = 0.0, 0.0, 0
             for _ in range(opt_steps):
+                if cfg.train.profile:
+                    if total_opt_steps == cfg.train.profile_start:
+                        jax.profiler.start_trace(cfg.train.profile_dir)
+                        profiling = True
+                    elif profiling and total_opt_steps == (
+                            cfg.train.profile_start + cfg.train.profile_steps):
+                        jax.block_until_ready(self.state.step)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                total_opt_steps += 1
                 micro = [next(it) for _ in range(accum)]
                 stacked = stack_micro_batches(micro)
                 metrics = self.run_step(stacked)
@@ -157,6 +169,9 @@ class Trainer:
             if ckpt is not None:
                 ckpt.save(int(self.state.step), self.state,
                           extra={"epoch": epoch + 1})
+        if profiling:
+            jax.block_until_ready(self.state.step)
+            jax.profiler.stop_trace()
         out_dir = cfg.train.output_dir
         os.makedirs(out_dir, exist_ok=True)
         plot_loss_curves(history["step"],

@@ -1,0 +1,104 @@
+"""CLI smoke tests: synth -> features/build-dataset file flows -> tiny train
+run with resume + eval, all through the public entrypoints."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mmoe_multimodal_rec_tpu.cli import main as cli_main
+
+
+def test_cli_help_and_unknown():
+    assert cli_main(["--help"]) == 0
+    assert cli_main(["nope"]) == 2
+
+
+def test_cli_synth_and_features_and_build(tmp_path, capsys):
+    assert cli_main(["synth", "--output", str(tmp_path / "wds"),
+                     "--samples", "32", "--samples-per-shard", "16"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["shards"] == 2
+
+    # features from raw meta/review jsonl
+    meta_path = tmp_path / "meta.jsonl"
+    rev_path = tmp_path / "reviews.jsonl"
+    with open(meta_path, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"parent_asin": f"p{i}",
+                                "main_category": "Sports",
+                                "title": f"Item {i}", "price": 5.0 + i,
+                                "features": ["Nice thing."],
+                                "description": ["Does stuff."],
+                                "images": [{"hi_res": f"http://x/{i}"}]}) + "\n")
+    with open(rev_path, "w") as f:
+        for u in range(3):
+            for j in range(3):
+                f.write(json.dumps({
+                    "user_id": f"u{u}", "parent_asin": f"p{(u + j) % 6}",
+                    "rating": 4 + (j % 2), "title": "ok",
+                    "text": "Pretty solid. Works.",
+                    "sort_timestamp": 1670000000000 + j * 86400000}) + "\n")
+    assert cli_main(["features", "--meta", str(meta_path),
+                     "--reviews", str(rev_path),
+                     "--output", str(tmp_path / "feat"),
+                     "--neg-k", "1", "--rate-5", "1.0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["image_urls"] == 6 and out["files"] >= 1
+
+    # build-dataset from the train split rows
+    rows_glob = str(tmp_path / "feat" / "train" / "*.jsonl")
+    assert cli_main(["build-dataset", "--rows", rows_glob,
+                     "--output", str(tmp_path / "wds2"),
+                     "--samples-per-shard", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["shards"] >= 1
+
+
+@pytest.mark.slow
+def test_cli_train_resume_eval(tmp_path, capsys):
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+    shards_dir = tmp_path / "wds"
+    write_synthetic_shards(str(shards_dir), n_samples=48,
+                           samples_per_shard=16, seed=1)
+    flags = [
+        f"--data.train_pattern={shards_dir}/*.tar.gz",
+        f"--data.valid_pattern={shards_dir}/*.tar.gz",
+        f"--train.checkpoint_dir={tmp_path}/ckpt",
+        f"--train.output_dir={tmp_path}/out",
+        "--train.batch_size=4",
+        "--train.epochs=1",
+        "--train.steps_per_epoch=4",
+        "--train.optim.grad_accum=2",
+        "--train.mesh.data_parallel=2",
+        # tiny dims
+        "--model.d=32", "--model.compute_dtype=float32",
+        "--model.use_flash_attention=false",
+        "--model.cross_heads=4", "--model.fuse_heads=4",
+        "--model.tower_hidden=16",
+        "--model.text.vocab_size=201", "--model.text.hidden_size=32",
+        "--model.text.num_layers=2", "--model.text.num_heads=4",
+        "--model.text.intermediate_size=64",
+        "--model.text.max_position_embeddings=48",
+        "--model.text.lora_rank=2",
+        "--model.image.hidden_size=32", "--model.image.num_layers=2",
+        "--model.image.num_heads=4", "--model.image.intermediate_size=64",
+        "--model.packer.max_tok=24", "--model.packer.max_chunks_per_sample=2",
+        "--model.packer.fixed_sent_count=6",
+    ]
+    assert cli_main(["train"] + flags) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["epoch_losses"]) == 1
+    assert os.path.exists(tmp_path / "out" / "train_loss_curves.png")
+    assert os.path.exists(tmp_path / "out" / "metrics.jsonl")
+
+    # resume: a second 1-epoch run restores epoch 1 and trains nothing new
+    # (start_epoch == epochs), proving the restore path end to end
+    assert cli_main(["train"] + flags) == 0
+    capsys.readouterr()
+
+    # eval from the checkpoint
+    assert cli_main(["eval"] + flags) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n"] == 48
+    assert 0.0 <= res["auc_good"] <= 1.0 or np.isnan(res["auc_good"])
