@@ -24,7 +24,7 @@ import numpy as np
 from ..config import Config
 from ..data.loader import make_eval_loader
 from ..data.packer import TextPacker
-from ..data.wordpiece import load_tokenizer
+from ..data.native_tokenizer import load_best_tokenizer as load_tokenizer
 from ..models.mmoe import MMoERecModel
 from ..train.step import make_bn_recalibration_step, make_eval_step
 from ..utils.plotting import plot_roc

@@ -253,7 +253,7 @@ void* wp_create(const char* vocab_data, int64_t data_len, int lower_case,
     const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
     size_t n = nl ? static_cast<size_t>(nl - p) : static_cast<size_t>(end - p);
     if (n > 0 && p[n - 1] == '\r') --n;
-    tok->vocab.emplace(std::string(p, n), idx++);
+    tok->vocab[std::string(p, n)] = idx++;  // last wins (dict semantics)
     if (!nl) break;
     p = nl + 1;
   }

@@ -24,7 +24,7 @@ import numpy as np
 from ..config import Config
 from ..data.loader import BatchLoader, make_train_loader
 from ..data.packer import TextPacker
-from ..data.wordpiece import load_tokenizer
+from ..data.native_tokenizer import load_best_tokenizer as load_tokenizer
 from ..models.mmoe import MMoERecModel
 from ..parallel.mesh import batch_shardings, make_mesh, param_shardings, replicated
 from ..utils.metrics import MetricsLogger, Throughput
