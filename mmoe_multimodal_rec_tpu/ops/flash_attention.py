@@ -30,9 +30,11 @@ NEG_INF = -1e9
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     # q: [bq, dh]; k,v: [Lk, dh]; mask: [1, Lk] int8 (1 = pad); o: [bq, dh]
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # Matmuls run in the input dtype (bf16 in training) on the MXU with fp32
+    # accumulation; only the softmax itself is fp32.
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -41,7 +43,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
+    p = (p / denom).astype(v.dtype)
     o_ref[0, 0, :, :] = jax.lax.dot_general(
         p, v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
@@ -115,7 +117,7 @@ def _reference_attention(q, k, v, pad_mask):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_attention(q, k, v, pad_mask=None, block_q: int = 128,
+def flash_attention(q, k, v, pad_mask=None, block_q: int = 512,
                     interpret: bool = False):
     """Fused attention. q,k,v: [B, H, L, Dh]; pad_mask: [B, Lk] (1 = pad)."""
     return _fused_attention_fwd_impl(q, k, v, pad_mask, block_q=block_q,
