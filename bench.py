@@ -102,24 +102,25 @@ def main():
         def step():
             return trainer.run_step(stacked)
 
-        # warmup (includes compile)
+        # warmup (includes compile); float() forces a device->host fetch —
+        # block_until_ready alone does not drain the remote transport.
         t_compile = time.perf_counter()
         for _ in range(args.warmup):
             m = step()
-        jax.block_until_ready(m["loss"])
+        float(jax.device_get(m["loss"]))
         compile_s = time.perf_counter() - t_compile
 
         t0 = time.perf_counter()
         for _ in range(args.steps):
             m = step()
-        jax.block_until_ready(m["loss"])
+        float(jax.device_get(m["loss"]))
         dt = time.perf_counter() - t0
         examples = args.steps * args.accum * args.batch
         metric = "train_examples_per_sec_per_chip"
     else:
         model = MMoERecModel(cfg.model)
         batch = random_batch(0)
-        variables = model.init(jax.random.PRNGKey(0), batch)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
         @jax.jit
         def fwd(variables, batch):
@@ -129,16 +130,19 @@ def main():
         t_compile = time.perf_counter()
         for _ in range(args.warmup):
             out = fwd(variables, batch)
-        jax.block_until_ready(out)
+        float(jax.device_get(out[0]).sum())
         compile_s = time.perf_counter() - t_compile
         t0 = time.perf_counter()
         for _ in range(args.steps):
             out = fwd(variables, batch)
-        jax.block_until_ready(out)
+        float(jax.device_get(out[0]).sum())
         dt = time.perf_counter() - t0
         examples = args.steps * args.batch
         metric = "infer_examples_per_sec_per_chip"
 
+    import sys
+    print(f"[bench] compile+warmup {compile_s:.1f}s, "
+          f"{dt / args.steps * 1000:.1f} ms/step", file=sys.stderr)
     value = examples / dt / n_chips
     print(json.dumps({
         "metric": metric,

@@ -1,0 +1,88 @@
+"""Serving-path predictor: raw (user_text, item_text, patch) -> scores.
+
+The reference has no serving story beyond the batch eval scripts; this wraps
+the jit forward for production inference:
+
+- fixed-shape compiled program (one compile per batch size; callers pick a
+  small set of bucket sizes), padding short batches with a valid mask;
+- host tokenization through the native WordPiece path;
+- scores returned as probabilities (sigmoid of the two task logits), matching
+  the eval scripts' outputs (ref inference_and_auc.py:150-151).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.decode import PATCH_SHAPE
+from ..data.packer import TextPacker
+from ..data.native_tokenizer import load_best_tokenizer
+from ..models.mmoe import MMoERecModel
+from ..train.optimizer import merge_params
+
+
+class Predictor:
+    def __init__(self, cfg: Config, trainable, frozen, batch_stats=None,
+                 batch_size: Optional[int] = None,
+                 tokenizer=None):
+        self.cfg = cfg
+        self.model = MMoERecModel(cfg.model)
+        self.batch_size = batch_size or cfg.train.batch_size
+        self.packer = TextPacker(
+            tokenizer or load_best_tokenizer(cfg.data.vocab_path),
+            cfg.model.packer)
+        params = merge_params(trainable, frozen)
+        self._variables = {"params": params}
+        if batch_stats:
+            self._variables["batch_stats"] = batch_stats
+
+        def fwd(variables, batch):
+            out = self.model.apply(variables, batch, deterministic=True)
+            return (jax.nn.sigmoid(out.logit_good),
+                    jax.nn.sigmoid(out.logit_best))
+
+        self._fwd = jax.jit(fwd)
+
+    @classmethod
+    def from_state(cls, cfg: Config, state, **kw) -> "Predictor":
+        return cls(cfg, state.trainable, state.frozen, state.batch_stats,
+                   **kw)
+
+    def predict(self, user_texts: Sequence[str], item_texts: Sequence[str],
+                patches: Optional[np.ndarray] = None,
+                has_image: Optional[np.ndarray] = None
+                ) -> Dict[str, np.ndarray]:
+        """Score up to batch_size pairs; shorter inputs are padded and the
+        padding discarded from the result."""
+        n = len(user_texts)
+        assert len(item_texts) == n
+        assert n <= self.batch_size, (n, self.batch_size)
+        b = self.batch_size
+        pad = b - n
+        user_texts = list(user_texts) + [""] * pad
+        item_texts = list(item_texts) + [""] * pad
+        if patches is None:
+            patches = np.zeros((n, *PATCH_SHAPE), np.uint8)
+            has_image = np.zeros(n, np.int32)
+        if has_image is None:
+            has_image = np.ones(n, np.int32)
+        patches = np.concatenate(
+            [patches, np.zeros((pad, *PATCH_SHAPE), np.uint8)], axis=0)
+        has_image = np.concatenate([has_image.astype(np.int32),
+                                    np.zeros(pad, np.int32)])
+
+        u = self.packer.pack(user_texts, self.cfg.model.packer.chunk_budget)
+        i = self.packer.pack(item_texts, self.cfg.model.packer.chunk_budget)
+        batch = {
+            "user_tokens": u.tokens, "user_sent_chunk": u.sent_chunk,
+            "user_sent_tok": u.sent_tok,
+            "item_tokens": i.tokens, "item_sent_chunk": i.sent_chunk,
+            "item_sent_tok": i.sent_tok,
+            "patches": patches, "has_image": has_image,
+        }
+        pg, pb = self._fwd(self._variables, batch)
+        return {"prob_good": np.asarray(pg)[:n],
+                "prob_best": np.asarray(pb)[:n]}

@@ -161,5 +161,7 @@ def make_bn_recalibration_step(cfg: Config, model: MMoERecModel):
 
 def init_model_variables(cfg: Config, model: MMoERecModel, rng: jax.Array,
                          sample_batch: Dict[str, jax.Array]):
-    variables = model.init(rng, sample_batch)
+    # jit the init: eager init dispatches hundreds of tiny ops, which is
+    # pathological over a remote-device transport.
+    variables = jax.jit(model.init)(rng, sample_batch)
     return variables["params"], variables.get("batch_stats", {})
