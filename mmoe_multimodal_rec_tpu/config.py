@@ -111,6 +111,8 @@ class ModelConfig:
     use_flash_attention: bool = True # Pallas fused attention on TPU
     remat: bool = False              # jax.checkpoint each encoder layer
                                      # (HBM <-> FLOPs trade, SURVEY build note)
+    remat_policy: str = "dots"       # "full" (recompute all) | "dots"
+                                     # (save MXU outputs, recompute VPU ops)
 
 
 @dataclass

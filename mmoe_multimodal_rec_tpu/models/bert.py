@@ -58,6 +58,7 @@ class BertEncoder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    remat_policy: str = "dots"
 
     @nn.compact
     def __call__(self, input_ids: Array,
@@ -88,8 +89,16 @@ class BertEncoder(nn.Module):
         x = x.astype(self.dtype)
         # jax.checkpoint per layer trades recompute for HBM when training
         # full-size encoders (static_argnums: self, deterministic).
-        layer_cls = (nn.remat(BertLayer, static_argnums=(3,))
-                     if self.remat else BertLayer)
+        # policy "dots": keep matmul outputs in HBM, recompute only the
+        # cheap VPU ops — most of the memory saving at a fraction of the
+        # recompute cost of full remat.
+        layer_cls = BertLayer
+        if self.remat:
+            import jax
+            policy = (None if self.remat_policy == "full" else
+                      jax.checkpoint_policies.dots_saveable)
+            layer_cls = nn.remat(BertLayer, static_argnums=(3,),
+                                 policy=policy)
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash,

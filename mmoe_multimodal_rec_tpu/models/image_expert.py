@@ -42,12 +42,14 @@ class ItemImageExpert(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    remat_policy: str = "dots"
 
     @nn.compact
     def __call__(self, patches: Array, *, deterministic: bool = True) -> Array:
         tokens = ViTEncoder(self.cfg, dtype=self.dtype,
                             param_dtype=self.param_dtype,
                             use_flash=self.use_flash, remat=self.remat,
+                            remat_policy=self.remat_policy,
                             name="backbone")(patches,
                                              deterministic=deterministic)
         if self.cfg.pool_type == "mean":
@@ -68,6 +70,7 @@ class ImageExpertWithProjection(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    remat_policy: str = "dots"
 
     @nn.compact
     def __call__(self, patches: Array, *, deterministic: bool = True
@@ -75,6 +78,7 @@ class ImageExpertWithProjection(nn.Module):
         tokens = ViTEncoder(self.cfg, dtype=self.dtype,
                             param_dtype=self.param_dtype,
                             use_flash=self.use_flash, remat=self.remat,
+                            remat_policy=self.remat_policy,
                             name="backbone")(patches,
                                              deterministic=deterministic)
         img_vec = tokens[:, 0]

@@ -64,7 +64,8 @@ class MMoERecModel(nn.Module):
 
         common = dict(dtype=dtype, param_dtype=pdtype,
                       use_flash=cfg.use_flash_attention)
-        enc_common = dict(common, remat=cfg.remat)
+        enc_common = dict(common, remat=cfg.remat,
+                          remat_policy=cfg.remat_policy)
 
         user_expert = TextExpert(cfg.text, cfg.packer.fixed_sent_count,
                                  dropout=cfg.dropout, final_norm=not home,

@@ -39,6 +39,7 @@ class TextExpert(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    remat_policy: str = "dots"
 
     @nn.compact
     def __call__(self, tokens: Array, sent_chunk: Array, sent_tok: Array, *,
@@ -55,7 +56,7 @@ class TextExpert(nn.Module):
         b, s = sent_chunk.shape
         h = BertEncoder(self.cfg, dtype=self.dtype,
                         param_dtype=self.param_dtype, use_flash=self.use_flash,
-                        remat=self.remat,
+                        remat=self.remat, remat_policy=self.remat_policy,
                         name="encoder")(tokens, deterministic=deterministic)
         d = h.shape[-1]
 

@@ -56,6 +56,7 @@ class ViTEncoder(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    remat_policy: str = "dots"
 
     @nn.compact
     def __call__(self, patches: Array, *, deterministic: bool = True) -> Array:
@@ -78,8 +79,13 @@ class ViTEncoder(nn.Module):
                          self.param_dtype)
         x = x + pos.astype(x.dtype)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
-        layer_cls = (nn.remat(ViTLayer, static_argnums=(2,))
-                     if self.remat else ViTLayer)
+        layer_cls = ViTLayer
+        if self.remat:
+            import jax
+            policy = (None if self.remat_policy == "full" else
+                      jax.checkpoint_policies.dots_saveable)
+            layer_cls = nn.remat(ViTLayer, static_argnums=(2,),
+                                 policy=policy)
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash,
