@@ -144,19 +144,19 @@ class Attention(nn.Module):
         v = split(apply(vp, value))
 
         dropout_rng = None
-        if self.dropout > 0.0 and not deterministic:
+        rate = self.dropout if (self.dropout > 0.0 and not deterministic) \
+            else 0.0
+        if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
 
-        if self.use_flash and _flash_ok(q):
+        if self.use_flash and _flash_ok(q, rate):
             from ..ops.flash_attention import flash_attention
-            out = flash_attention(q, k, v, pad_mask=pad_mask)
-            if self.dropout > 0.0 and not deterministic:
-                # Attn-weight dropout is incompatible with the fused kernel;
-                # fall back (training uses the einsum path anyway unless
-                # dropout is disabled).
-                out = _dot_product_attention(
-                    q, k, v, pad_mask, self.dropout, deterministic,
-                    dropout_rng, self.dtype)
+            seed = None
+            if rate > 0.0:
+                # in-kernel PRNG dropout; fwd/bwd kernels share this seed
+                seed = jax.random.randint(dropout_rng, (), 0, 2**31 - 1,
+                                          jnp.int32)
+            out = flash_attention(q, k, v, pad_mask, seed, rate)
         else:
             out = _dot_product_attention(
                 q, k, v, pad_mask, self.dropout, deterministic,
@@ -168,13 +168,17 @@ class Attention(nn.Module):
                         name="out")(out)
 
 
-def _flash_ok(q: Array) -> bool:
-    # Pallas kernel wants lane-aligned head dims and a real TPU backend.
+def _flash_ok(q: Array, dropout_rate: float = 0.0) -> bool:
+    # Pallas kernel wants lane-aligned head dims and a real TPU backend;
+    # with dropout the whole sequence must fit one q block (seed alignment).
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and q.shape[-1] % 128 in (0, 64) and q.shape[-2] >= 128
+    lq = q.shape[-2]
+    if dropout_rate > 0.0 and lq > 512:
+        return False
+    return on_tpu and q.shape[-1] % 128 in (0, 64) and lq >= 128
 
 
 class Mlp(nn.Module):

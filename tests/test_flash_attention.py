@@ -1,12 +1,14 @@
-"""Pallas fused attention: interpret-mode numerics vs the XLA reference
-implementation, including pad masks, unaligned lengths, and the VJP."""
+"""Pallas fused attention: interpret-mode numerics vs the XLA reference —
+pad masks, unaligned lengths, the VJP, and in-kernel PRNG dropout (forward
+and backward against einsum attention given the SAME keep mask)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
 from mmoe_multimodal_rec_tpu.ops.flash_attention import (
-    _reference_attention, flash_attention)
+    _reference_attention, _reference_attention_with_mask, dropout_keep_mask,
+    flash_attention)
 
 
 def _rand(shape, seed=0):
@@ -24,7 +26,7 @@ def test_flash_matches_reference(lq, lk):
     mask[0, -5:] = 1
     mask = jnp.asarray(mask)
     want = _reference_attention(q, k, v, mask)
-    got = flash_attention(q, k, v, mask, 128, True)  # interpret=True
+    got = flash_attention(q, k, v, mask, None, 0.0, 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
@@ -32,7 +34,7 @@ def test_flash_no_mask():
     q, k, v = _rand((1, 2, 128, 64), 0), _rand((1, 2, 128, 64), 1), \
         _rand((1, 2, 128, 64), 2)
     want = _reference_attention(q, k, v, None)
-    got = flash_attention(q, k, v, None, 128, True)
+    got = flash_attention(q, k, v, None, None, 0.0, 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
@@ -40,8 +42,8 @@ def test_flash_all_masked_row_is_finite():
     b, h, l, dh = 1, 2, 128, 64
     q, k, v = _rand((b, h, l, dh), 0), _rand((b, h, l, dh), 1), \
         _rand((b, h, l, dh), 2)
-    mask = jnp.ones((b, l), jnp.int8)  # everything padded
-    got = flash_attention(q, k, v, mask, 128, True)
+    mask = jnp.ones((b, l), jnp.int8)
+    got = flash_attention(q, k, v, mask, None, 0.0, 128, True)
     assert bool(jnp.all(jnp.isfinite(got)))
 
 
@@ -54,7 +56,8 @@ def test_flash_vjp_matches_reference():
     mask = jnp.asarray(mask)
 
     def f_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, mask, 128, True) ** 2)
+        return jnp.sum(flash_attention(q, k, v, mask, None, 0.0, 128,
+                                       True) ** 2)
 
     def f_ref(q, k, v):
         return jnp.sum(_reference_attention(q, k, v, mask) ** 2)
@@ -63,3 +66,61 @@ def test_flash_vjp_matches_reference():
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel dropout
+# ---------------------------------------------------------------------------
+
+RATE = 0.3
+
+
+def _dropout_setup(b=2, h=3, l=128, dh=64, seed_val=1234):
+    q, k, v = _rand((b, h, l, dh), 0), _rand((b, h, l, dh), 1), \
+        _rand((b, h, l, dh), 2)
+    mask = np.zeros((b, l), np.int8)
+    mask[0, -4:] = 1
+    mask = jnp.asarray(mask)
+    seed = jnp.asarray(seed_val, jnp.int32)
+    keep = dropout_keep_mask(seed_val, b, h, l, l, RATE, interpret=True)
+    return q, k, v, mask, seed, keep
+
+
+def test_flash_dropout_forward_matches_masked_einsum():
+    q, k, v, mask, seed, keep = _dropout_setup()
+    got = flash_attention(q, k, v, mask, seed, RATE, 512, True)
+    want = _reference_attention_with_mask(q, k, v, mask, keep, RATE)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_flash_dropout_is_seed_deterministic():
+    q, k, v, mask, seed, _ = _dropout_setup()
+    a = flash_attention(q, k, v, mask, seed, RATE, 512, True)
+    b_ = flash_attention(q, k, v, mask, seed, RATE, 512, True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    c = flash_attention(q, k, v, mask, jnp.asarray(999, jnp.int32), RATE,
+                        512, True)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_flash_dropout_keep_fraction_sane():
+    _, _, _, _, _, keep = _dropout_setup(b=4, h=4, l=256)
+    frac = float(np.asarray(keep).mean())
+    assert abs(frac - (1 - RATE)) < 0.01
+
+
+def test_flash_dropout_vjp_matches_masked_einsum():
+    q, k, v, mask, seed, keep = _dropout_setup()
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, seed, RATE, 512,
+                                       True) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(
+            _reference_attention_with_mask(q, k, v, mask, keep, RATE) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
