@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--mode", type=str, default="train",
                     choices=["train", "infer"])
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--remat-policy", type=str, default="full",
+                    choices=["full", "dots"])
     args = ap.parse_args()
 
     if args.platform:
@@ -62,6 +64,7 @@ def main():
     cfg = Config()
     cfg.model.variant = args.variant
     cfg.model.remat = True
+    cfg.model.remat_policy = args.remat_policy
     cfg.train.batch_size = args.batch
     cfg.train.optim.grad_accum = args.accum
     cfg.model.packer.chunk_budget = int(args.batch * args.chunks_per_sample)
