@@ -52,6 +52,16 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
+    # persistent compilation cache: repeated bench invocations skip the
+    # multi-minute XLA compile when the program is unchanged
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import numpy as np
 
     from mmoe_multimodal_rec_tpu.config import Config

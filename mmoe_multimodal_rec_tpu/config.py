@@ -169,6 +169,9 @@ class TrainConfig:
     checkpoint_dir: str = "./outputs/ckpt"
     output_dir: str = "./outputs"
     resume: bool = True              # the reference can only save (SURVEY §5)
+    # PRNG impl for dropout streams: "rbg" is far cheaper than threefry on
+    # TPU and dropout needs no cross-impl reproducibility.
+    rng_impl: str = "rbg"
     # jax.profiler tracing (reference has none — SURVEY §5): capture steps
     # [profile_start, profile_start + profile_steps) of the first epoch.
     profile: bool = False

@@ -102,7 +102,8 @@ class Trainer:
         self._batch_sharding = batch_shardings(accum_batch, self.mesh,
                                                accum_dim=True)
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
-        self._dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        self._dropout_rng = jax.random.key(cfg.train.seed + 1,
+                                           impl=cfg.train.rng_impl)
 
     # ------------------------------------------------------------------
     def run_step(self, stacked_batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
