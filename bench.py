@@ -111,6 +111,10 @@ def main():
         stacked = {k: np.broadcast_to(
             v, (args.accum,) + v.shape).copy()
             for k, v in random_batch(0).items()}
+        # stage the batch on device once: the production input pipeline
+        # overlaps host->device transfers (data/loader.device_prefetch), so
+        # the step metric should not pay a synchronous re-upload per step
+        stacked = jax.device_put(stacked, trainer._batch_sharding)
 
         def step():
             return trainer.run_step(stacked)

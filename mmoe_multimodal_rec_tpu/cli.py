@@ -34,8 +34,16 @@ def _split_flags(argv: List[str]):
 
 
 def cmd_train(argv: List[str]) -> int:
-    cfg_flags, _ = _split_flags(argv)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multihost", action="store_true",
+                    help="call jax.distributed.initialize() for multi-host "
+                         "pods (coordinator from env, standard JAX plumbing)")
+    cfg_flags, rest = _split_flags(argv)
+    args = ap.parse_args(rest)
     cfg = Config.from_flags(cfg_flags)
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
     from .train.loop import train_from_config
     result = train_from_config(cfg)
     print(json.dumps({"examples_per_sec": result["examples_per_sec"],
@@ -47,6 +55,9 @@ def cmd_eval(argv: List[str]) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="orbax checkpoint dir (defaults to train.checkpoint_dir)")
+    ap.add_argument("--reference-ckpt", type=str, default=None,
+                    help="torch .pt checkpoint in the reference layout "
+                         "(train.py:351-363) — converted on the fly")
     ap.add_argument("--recalibrate-bn", action="store_true")
     cfg_flags, rest = _split_flags(argv)
     args = ap.parse_args(rest)
@@ -58,19 +69,55 @@ def cmd_eval(argv: List[str]) -> int:
     from .train.loop import Trainer
 
     trainer = Trainer(cfg)
-    ckpt = CheckpointManager(args.checkpoint or cfg.train.checkpoint_dir)
-    restored, _ = ckpt.restore(trainer.state)
-    if restored is not None:
-        trainer.state = restored
-        print(f"[eval] restored step={int(restored.step)}", flush=True)
+    if args.reference_ckpt:
+        trainer.state = _load_reference_ckpt(cfg, trainer.state,
+                                             args.reference_ckpt)
     else:
-        print("[eval] WARNING: no checkpoint found, evaluating init weights",
-              flush=True)
+        ckpt = CheckpointManager(args.checkpoint or cfg.train.checkpoint_dir)
+        restored, _ = ckpt.restore(trainer.state)
+        if restored is not None:
+            trainer.state = restored
+            print(f"[eval] restored step={int(restored.step)}", flush=True)
+        else:
+            print("[eval] WARNING: no checkpoint found, evaluating init "
+                  "weights", flush=True)
     res = evaluate_from_config(cfg, trainer.state,
                                recalibrate=args.recalibrate_bn)
     print(json.dumps({"auc_good": res["good"], "auc_best": res["best"],
                       "n": res["n"]}))
     return 0
+
+
+def _load_reference_ckpt(cfg: Config, state, path: str):
+    """torch reference checkpoint -> TrainState params/batch_stats, with a
+    non-strict missing/unexpected report (infer_auc_HoME:47-56 behavior)."""
+    import torch
+    from flax import traverse_util
+    from .train.optimizer import merge_params, split_trainable
+    from .utils.hf_convert import convert_reference_checkpoint, load_into
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    converted, stats = convert_reference_checkpoint(ckpt, cfg.model)
+    init_params = merge_params(state.trainable, state.frozen)
+    merged, missing, unexpected = load_into(init_params, converted)
+    for key in missing[:20]:
+        print(f"[ckpt] missing: {key}", flush=True)
+    for key in unexpected[:20]:
+        print(f"[ckpt] unexpected: {key}", flush=True)
+    print(f"[ckpt] loaded {path}: {len(missing)} missing, "
+          f"{len(unexpected)} unexpected", flush=True)
+    import numpy as np
+    merged = traverse_util.unflatten_dict(
+        {k: np.asarray(v, np.float32)
+         for k, v in traverse_util.flatten_dict(merged).items()})
+    trainable, frozen = split_trainable(merged, cfg.model.variant)
+    new_stats = state.batch_stats
+    if stats:
+        new_stats, s_missing, s_unexp = load_into(state.batch_stats, stats)
+        print(f"[ckpt] batch_stats: {len(s_missing)} missing, "
+              f"{len(s_unexp)} unexpected", flush=True)
+    return state.replace(trainable=trainable, frozen=frozen,
+                         batch_stats=new_stats)
 
 
 def cmd_features(argv: List[str]) -> int:

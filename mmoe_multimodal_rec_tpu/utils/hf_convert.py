@@ -327,6 +327,38 @@ def convert_bn_wrapper(sd: Mapping) -> Tuple[Params, Params]:
 # Whole-checkpoint conversion
 # ---------------------------------------------------------------------------
 
+def load_into(init_params: Params, converted: Params,
+              path: str = "") -> Tuple[Params, list, list]:
+    """Non-strict merge of converted params over an init tree with a
+    missing/unexpected key report (the reference's strict=False load +
+    printout, infer_auc_HoME:47-56).  Shape mismatches count as unexpected
+    and keep the init value."""
+    missing, unexpected = [], []
+
+    def walk(init_t, conv_t, p):
+        if not isinstance(init_t, dict):
+            if conv_t is None:
+                missing.append(p)
+                return init_t
+            import numpy as _np
+            if _np.shape(conv_t) != _np.shape(init_t):
+                unexpected.append(f"{p} (shape {_np.shape(conv_t)} != "
+                                  f"{_np.shape(init_t)})")
+                return init_t
+            return conv_t
+        out = {}
+        conv_t = conv_t if isinstance(conv_t, dict) else {}
+        for k, v in init_t.items():
+            out[k] = walk(v, conv_t.get(k), f"{p}/{k}" if p else str(k))
+        for k in conv_t:
+            if k not in init_t:
+                unexpected.append(f"{p}/{k}" if p else str(k))
+        return out
+
+    merged = walk(init_params, converted, path)
+    return merged, missing, unexpected
+
+
 def convert_reference_checkpoint(ckpt: Mapping, model_cfg,
                                  ) -> Tuple[Params, Optional[Params]]:
     """Reference torch checkpoint dict (train.py:351-363 /

@@ -204,3 +204,69 @@ def test_predictor_serving_path():
         ["Mountain bike with solid frame.", "Cheap helmet.", "Thing."])
     np.testing.assert_allclose(out["prob_good"], out3["prob_good"][:2],
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_cli_eval_with_reference_torch_checkpoint(tmp_path, capsys):
+    """torch.save a reference-layout checkpoint -> `eval --reference-ckpt`
+    converts it and produces AUCs over synthetic shards (the switch-over
+    path for users holding reference checkpoints)."""
+    import json
+    import torch
+    from mmoe_multimodal_rec_tpu.cli import main as cli_main
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+
+    cfg = tiny_config("baseline")
+    mc = cfg.model
+    rng = np.random.default_rng(1)
+    d = mc.d
+    ckpt = {
+        "epoch": 3,
+        "user": {"encoder." + k: v
+                 for k, v in _bert_sd(rng, mc.text).items()},
+        "item": {"encoder." + k: v
+                 for k, v in _bert_sd(rng, mc.text).items()},
+        "img": ({"backbone." + k: v
+                 for k, v in _vit_sd(rng, mc.image).items()}
+                | _flat("norm", _ln(rng, d), {})),
+        "cross_ui": _cross_sd(rng, d),
+        "concat_ui": _fuse_sd(rng, d),
+        "concat_ti": _fuse_sd(rng, d),
+        "head": _head_sd(rng, d, mc.tower_hidden),
+    }
+    for side in ("user", "item"):
+        _flat("norm", _ln(rng, d), ckpt[side])
+    ckpt = {k: ({kk: torch.tensor(vv) for kk, vv in v.items()}
+                if isinstance(v, dict) else v) for k, v in ckpt.items()}
+    pt_path = str(tmp_path / "ref_ckpt.pt")
+    torch.save(ckpt, pt_path)
+
+    shards = tmp_path / "wds"
+    write_synthetic_shards(str(shards), n_samples=16, samples_per_shard=8)
+    flags = [
+        f"--data.valid_pattern={shards}/*.tar.gz",
+        f"--train.checkpoint_dir={tmp_path}/ckpt",
+        f"--train.output_dir={tmp_path}/out",
+        "--train.batch_size=4", "--train.mesh.data_parallel=2",
+        "--model.d=32", "--model.compute_dtype=float32",
+        "--model.use_flash_attention=false",
+        "--model.cross_heads=4", "--model.fuse_heads=4",
+        "--model.tower_hidden=16",
+        "--model.text.vocab_size=201", "--model.text.hidden_size=32",
+        "--model.text.num_layers=2", "--model.text.num_heads=4",
+        "--model.text.intermediate_size=64",
+        "--model.text.max_position_embeddings=48",
+        "--model.text.lora_rank=2",
+        "--model.image.hidden_size=32", "--model.image.num_layers=2",
+        "--model.image.num_heads=4", "--model.image.intermediate_size=64",
+        "--model.packer.max_tok=24",
+        "--model.packer.max_chunks_per_sample=2",
+        "--model.packer.fixed_sent_count=6",
+        "--reference-ckpt", pt_path,
+    ]
+    assert cli_main(["eval"] + flags) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    res = json.loads(lines[-1])
+    assert res["n"] == 16
+    report = "\n".join(lines)
+    assert "missing" in report  # load report printed
