@@ -69,27 +69,31 @@ def _softmax_fp32(scores):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                scale: float, dropout_rate: float):
-    # q: [bq, dh]; k,v: [Lk, dh]; mask: [1, Lk] int8; o: [bq, dh]
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+                scale: float, dropout_rate: float, n_heads: int):
+    # One program per (batch row, q block); ALL heads inner-unrolled so the
+    # grid stays small (per-program dispatch overhead would otherwise
+    # dominate at these sizes: B*H*nq tiny programs of ~40 MFLOP each).
+    # q: [1, H, bq, dh]; k,v: [1, H, Lk, dh]; mask: [1, 1, Lk]; o like q.
     mask = mask_ref[0, 0, :]
-    scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
-    p = _softmax_fp32(scores)
-    if dropout_rate > 0.0:
-        bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        nh, nq = pl.num_programs(1), pl.num_programs(2)
-        base = ((bi * nh + hi) * nq + qi) * p.shape[0] * p.shape[1]
-        keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
-        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-    p = p.astype(v.dtype)
-    o_ref[0, 0, :, :] = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    bi, qi = pl.program_id(0), pl.program_id(1)
+    nq = pl.num_programs(1)
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
+        p = _softmax_fp32(scores)
+        if dropout_rate > 0.0:
+            base = ((bi * n_heads + h) * nq + qi) * p.shape[0] * p.shape[1]
+            keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        p = p.astype(v.dtype)
+        o_ref[0, h, :, :] = jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _pad_inputs(q, k, v, pad_mask, block_q):
@@ -120,28 +124,28 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, block_q: int,
     q, k, v, pad_mask, bq, nq, pad_lq, lk = _pad_inputs(q, k, v, pad_mask,
                                                         block_q)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
-    grid = (b, h, nq)
+    grid = (b, nq)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, n_heads=h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, bq, dh),
-                             lambda bi, hi, qi, *_: (bi, hi, qi, 0),
+                pl.BlockSpec((1, h, bq, dh),
+                             lambda bi, qi, *_: (bi, 0, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, lk, dh),
-                             lambda bi, hi, qi, *_: (bi, hi, 0, 0),
+                pl.BlockSpec((1, h, lk, dh),
+                             lambda bi, qi, *_: (bi, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, lk, dh),
-                             lambda bi, hi, qi, *_: (bi, hi, 0, 0),
+                pl.BlockSpec((1, h, lk, dh),
+                             lambda bi, qi, *_: (bi, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, lk), lambda bi, hi, qi, *_: (bi, 0, 0),
+                pl.BlockSpec((1, 1, lk), lambda bi, qi, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, bq, dh),
-                                   lambda bi, hi, qi, *_: (bi, hi, qi, 0),
+            out_specs=pl.BlockSpec((1, h, bq, dh),
+                                   lambda bi, qi, *_: (bi, 0, qi, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, pad_lq, dh), q.dtype),
@@ -161,47 +165,46 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, block_q: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float):
-    # Single q block per (b, h): q/do [Lq, dh]; k/v [Lk, dh].
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+                dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float,
+                n_heads: int):
+    # One program per batch row, all heads inner-unrolled, single q block
+    # (the dropout seed stream assumes nq == 1).
     mask = mask_ref[0, 0, :]
-    scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
-    p = _softmax_fp32(scores)                         # pre-dropout probs
-    if dropout_rate > 0.0:
-        bi, hi = pl.program_id(0), pl.program_id(1)
-        nh = pl.num_programs(1)
-        base = (bi * nh + hi) * p.shape[0] * p.shape[1]   # nq == 1
-        keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
-        inv = 1.0 / (1.0 - dropout_rate)
-        p_drop = jnp.where(keep, p * inv, 0.0)
-    else:
-        p_drop = p
-    # dv = p_drop^T @ do
-    dv_ref[0, 0, :, :] = jax.lax.dot_general(
-        p_drop.astype(do_ref.dtype), do.astype(do_ref.dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    # dp = do @ v^T, through dropout
-    dp = jax.lax.dot_general(
-        do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if dropout_rate > 0.0:
-        dp = jnp.where(keep, dp * inv, 0.0)
-    # softmax vjp
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = (ds * scale).astype(q.dtype)
-    dq_ref[0, 0, :, :] = jax.lax.dot_general(
-        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_ref[0, 0, :, :] = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    bi = pl.program_id(0)
+    for h in range(n_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
+        p = _softmax_fp32(scores)                     # pre-dropout probs
+        if dropout_rate > 0.0:
+            base = (bi * n_heads + h) * p.shape[0] * p.shape[1]
+            keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            p_drop = jnp.where(keep, p * inv, 0.0)
+        else:
+            p_drop = p
+        dv_ref[0, h, :, :] = jax.lax.dot_general(
+            p_drop.astype(do_ref.dtype), do.astype(do_ref.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dp * inv, 0.0)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(q.dtype)
+        dq_ref[0, h, :, :] = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, h, :, :] = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
 def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *,
@@ -216,19 +219,19 @@ def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *,
     if pad_lq != lq:
         g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_lq - lq), (0, 0)))
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
-    grid = (b, h)
-    spec_q = pl.BlockSpec((1, 1, pad_lq, dh), lambda bi, hi, *_: (bi, hi, 0, 0),
+    grid = (b,)
+    spec_q = pl.BlockSpec((1, h, pad_lq, dh), lambda bi, *_: (bi, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    spec_k = pl.BlockSpec((1, 1, lk, dh), lambda bi, hi, *_: (bi, hi, 0, 0),
+    spec_k = pl.BlockSpec((1, h, lk, dh), lambda bi, *_: (bi, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, n_heads=h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[spec_q, spec_k, spec_k,
-                      pl.BlockSpec((1, 1, lk), lambda bi, hi, *_: (bi, 0, 0),
+                      pl.BlockSpec((1, 1, lk), lambda bi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
                       spec_q],
             out_specs=[spec_q, spec_k, spec_k],
