@@ -69,15 +69,18 @@ def _softmax_fp32(scores):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                scale: float, dropout_rate: float, n_heads: int):
-    # One program per (batch row, q block); ALL heads inner-unrolled so the
-    # grid stays small (per-program dispatch overhead would otherwise
-    # dominate at these sizes: B*H*nq tiny programs of ~40 MFLOP each).
-    # q: [1, H, bq, dh]; k,v: [1, H, Lk, dh]; mask: [1, 1, Lk]; o like q.
+                scale: float, dropout_rate: float, head_block: int,
+                n_heads: int):
+    # One program per (batch row, q block, head group); heads inner-unrolled
+    # so the grid stays small (per-program dispatch overhead dominates with
+    # B*H*nq tiny programs of ~40 MFLOP each), with head_block bounding the
+    # per-program VMEM (scoped vmem limit is 16MB).
+    # q: [1, hb, bq, dh]; k,v: [1, hb, Lk, dh]; mask: [1, 1, Lk]; o like q.
     mask = mask_ref[0, 0, :]
-    bi, qi = pl.program_id(0), pl.program_id(1)
+    bi, qi, gi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nq = pl.num_programs(1)
-    for h in range(n_heads):
+    for h in range(head_block):
+        h_abs = gi * head_block + h
         q = q_ref[0, h]
         k = k_ref[0, h]
         v = v_ref[0, h]
@@ -87,7 +90,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
         p = _softmax_fp32(scores)
         if dropout_rate > 0.0:
-            base = ((bi * n_heads + h) * nq + qi) * p.shape[0] * p.shape[1]
+            base = ((bi * n_heads + h_abs) * nq + qi) * p.shape[0] * p.shape[1]
             keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
             p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
         p = p.astype(v.dtype)
@@ -124,28 +127,30 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, block_q: int,
     q, k, v, pad_mask, bq, nq, pad_lq, lk = _pad_inputs(q, k, v, pad_mask,
                                                         block_q)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
-    grid = (b, nq)
+    hb = math.gcd(h, 4)
+    grid = (b, nq, h // hb)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
-                          dropout_rate=dropout_rate, n_heads=h),
+                          dropout_rate=dropout_rate, head_block=hb,
+                          n_heads=h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, h, bq, dh),
-                             lambda bi, qi, *_: (bi, 0, qi, 0),
+                pl.BlockSpec((1, hb, bq, dh),
+                             lambda bi, qi, gi, *_: (bi, gi, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, lk, dh),
-                             lambda bi, qi, *_: (bi, 0, 0, 0),
+                pl.BlockSpec((1, hb, lk, dh),
+                             lambda bi, qi, gi, *_: (bi, gi, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, lk, dh),
-                             lambda bi, qi, *_: (bi, 0, 0, 0),
+                pl.BlockSpec((1, hb, lk, dh),
+                             lambda bi, qi, gi, *_: (bi, gi, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, lk), lambda bi, qi, *_: (bi, 0, 0),
+                pl.BlockSpec((1, 1, lk), lambda bi, qi, gi, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, h, bq, dh),
-                                   lambda bi, qi, *_: (bi, 0, qi, 0),
+            out_specs=pl.BlockSpec((1, hb, bq, dh),
+                                   lambda bi, qi, gi, *_: (bi, gi, qi, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, pad_lq, dh), q.dtype),
@@ -166,12 +171,13 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, block_q: int,
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float,
-                n_heads: int):
-    # One program per batch row, all heads inner-unrolled, single q block
-    # (the dropout seed stream assumes nq == 1).
+                head_block: int, n_heads: int):
+    # One program per (batch row, head group), single q block (the dropout
+    # seed stream assumes nq == 1).
     mask = mask_ref[0, 0, :]
-    bi = pl.program_id(0)
-    for h in range(n_heads):
+    bi, gi = pl.program_id(0), pl.program_id(1)
+    for h in range(head_block):
+        h_abs = gi * head_block + h
         q = q_ref[0, h]
         k = k_ref[0, h]
         v = v_ref[0, h]
@@ -182,7 +188,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
         p = _softmax_fp32(scores)                     # pre-dropout probs
         if dropout_rate > 0.0:
-            base = (bi * n_heads + h) * p.shape[0] * p.shape[1]
+            base = (bi * n_heads + h_abs) * p.shape[0] * p.shape[1]
             keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
             inv = 1.0 / (1.0 - dropout_rate)
             p_drop = jnp.where(keep, p * inv, 0.0)
@@ -219,19 +225,22 @@ def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *,
     if pad_lq != lq:
         g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_lq - lq), (0, 0)))
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
-    grid = (b,)
-    spec_q = pl.BlockSpec((1, h, pad_lq, dh), lambda bi, *_: (bi, 0, 0, 0),
+    hb = math.gcd(h, 2)   # bwd holds ~3x the temporaries of fwd
+    grid = (b, h // hb)
+    spec_q = pl.BlockSpec((1, hb, pad_lq, dh),
+                          lambda bi, gi, *_: (bi, gi, 0, 0),
                           memory_space=pltpu.VMEM)
-    spec_k = pl.BlockSpec((1, h, lk, dh), lambda bi, *_: (bi, 0, 0, 0),
+    spec_k = pl.BlockSpec((1, hb, lk, dh), lambda bi, gi, *_: (bi, gi, 0, 0),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale,
-                          dropout_rate=dropout_rate, n_heads=h),
+                          dropout_rate=dropout_rate, head_block=hb,
+                          n_heads=h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[spec_q, spec_k, spec_k,
-                      pl.BlockSpec((1, 1, lk), lambda bi, *_: (bi, 0, 0),
+                      pl.BlockSpec((1, 1, lk), lambda bi, gi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
                       spec_q],
             out_specs=[spec_q, spec_k, spec_k],
