@@ -33,7 +33,7 @@ REFERENCE_EXAMPLES_PER_SEC_PER_CHIP = 40.0  # documented estimate, see above
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)

@@ -89,8 +89,12 @@ def make_train_step(cfg: Config, model: MMoERecModel,
 
         init = (zero_grads, state.batch_stats, jnp.zeros((), jnp.int32),
                 jnp.zeros(()), jnp.zeros(()))
-        (grads, stats, n_good, main_sum, cl_sum), _ = jax.lax.scan(
-            body, init, jnp.arange(accum))
+        if accum == 1:
+            # no scan wrapper: lets XLA fuse across the whole step
+            (grads, stats, n_good, main_sum, cl_sum), _ = body(init, 0)
+        else:
+            (grads, stats, n_good, main_sum, cl_sum), _ = jax.lax.scan(
+                body, init, jnp.arange(accum))
 
         # Reference divides every micro-loss by ACCUM regardless of skips
         # (train.py:258) — grads scale likewise.
