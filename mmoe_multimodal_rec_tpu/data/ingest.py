@@ -11,7 +11,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
-from typing import Callable, Dict, Iterable, Iterator, Optional
+from typing import Callable, Iterable, Iterator, Optional
 
 
 def transform_meta(ex: dict) -> dict:

@@ -20,11 +20,10 @@ from __future__ import annotations
 import queue
 import random
 import threading
-from typing import Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from ..config import PackerConfig
 from .decode import PATCH_SHAPE, decode_sample
 from .packer import TextPacker
 from .tar_io import iter_shard

@@ -9,7 +9,6 @@ overlap with device steps even on single-core hosts.
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import List, Optional, Sequence
 
 import numpy as np

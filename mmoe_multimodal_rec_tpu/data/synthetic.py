@@ -9,7 +9,7 @@ every layer from tar IO to the train loop can be exercised hermetically.
 from __future__ import annotations
 
 import json
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

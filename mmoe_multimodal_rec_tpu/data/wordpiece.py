@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import unicodedata
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, List, Optional
 
 SENT_TOKEN = "<SENT>"
 

@@ -13,7 +13,7 @@ over the mesh instead of seven DDP allreduce buckets.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

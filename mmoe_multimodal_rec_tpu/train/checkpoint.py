@@ -12,9 +12,7 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
-from flax import traverse_util
 
 _SEP = "|"
 

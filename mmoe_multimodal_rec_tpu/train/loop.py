@@ -14,7 +14,6 @@ Replaces train.py:77-424 / train_HoME.py:118-536.  Key structural changes:
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Dict, Iterator, Optional
 
 import jax
@@ -22,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..data.loader import BatchLoader, make_train_loader
+from ..data.loader import make_train_loader
 from ..data.packer import TextPacker
 from ..data.native_tokenizer import load_best_tokenizer as load_tokenizer
 from ..models.mmoe import MMoERecModel

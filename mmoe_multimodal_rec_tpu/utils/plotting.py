@@ -5,13 +5,12 @@ infer_auc_HoME:217-233)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
-import numpy as np  # noqa: E402
 
 
 def plot_loss_curves(steps: Sequence[int], losses: Dict[str, Sequence[float]],
