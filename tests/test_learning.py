@@ -1,0 +1,87 @@
+"""End-to-end learning test: on a synthetically separable task (label
+depends on sentiment words in the texts), a tiny model trained through the
+full Trainer stack must reach AUC >> 0.5 on held-out data.
+
+This is the strongest smoke signal the pipeline is wired correctly end to
+end: packing -> experts -> head -> loss -> grads -> optimizer -> eval.
+"""
+import numpy as np
+import pytest
+
+from mmoe_multimodal_rec_tpu.data.loader import BatchLoader, assemble_batch
+from mmoe_multimodal_rec_tpu.data.packer import TextPacker
+from mmoe_multimodal_rec_tpu.data.sentence import split_sentences
+from util import tiny_config, tiny_tokenizer
+
+POS_WORDS = ["great", "excellent", "love", "perfect", "awesome"]
+NEG_WORDS = ["broken", "terrible", "refund", "awful", "useless"]
+FILLER = ("the bike helmet strap arrived quickly and the box was fine "
+          "overall shipping took days").split()
+
+
+def _make_sample(rng, label):
+    words = list(rng.choice(FILLER, size=8))
+    signal = POS_WORDS if label else NEG_WORDS
+    for _ in range(3):
+        words.insert(int(rng.integers(0, len(words))),
+                     str(rng.choice(signal)))
+    text = " ".join(words).capitalize() + "."
+    return {
+        "user_text": text,
+        "item_text": " ".join(rng.choice(FILLER, size=6)).capitalize() + ".",
+        "patch": np.zeros((196, 768), np.uint8),
+        "has_image": 0,
+        "label_good": float(label),
+        "label_best": float(label),
+    }
+
+
+def _sample_stream(seed):
+    rng = np.random.default_rng(seed)
+    while True:
+        yield _make_sample(rng, int(rng.random() < 0.5))
+
+
+@pytest.mark.slow
+def test_model_learns_synthetic_signal():
+    from mmoe_multimodal_rec_tpu.eval.auc import roc_auc
+    from mmoe_multimodal_rec_tpu.train.loop import Trainer, stack_micro_batches
+    from mmoe_multimodal_rec_tpu.train.step import make_eval_step
+    import jax
+
+    cfg = tiny_config("baseline", batch_size=16, accum=1, data_parallel=2)
+    cfg.train.optim.lr = 3e-3
+    cfg.train.optim.freeze_steps = 10_000  # LoRA stays off; experts learn
+    cfg.model.dropout = 0.0
+    cfg.model.text.hidden_dropout = 0.0
+    cfg.model.text.attention_dropout = 0.0
+
+    packer = TextPacker(tiny_tokenizer(cfg), cfg.model.packer,
+                        splitter=split_sentences)
+    loader = BatchLoader(_sample_stream(0), cfg.train.batch_size, packer,
+                         num_prefetch=2)
+    trainer = Trainer(cfg)
+    it = iter(loader)
+    losses = []
+    for _ in range(120):
+        batch = stack_micro_batches([next(it)])
+        m = trainer.run_step(batch)
+        losses.append(float(m["main_loss"]))
+    loader.close()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8, \
+        (np.mean(losses[:10]), np.mean(losses[-10:]))
+
+    # held-out eval
+    eval_step = jax.jit(make_eval_step(cfg, trainer.model))
+    rng = np.random.default_rng(10_000)
+    samples = [_make_sample(rng, i % 2) for i in range(64)]
+    probs, labels = [], []
+    for i in range(0, 64, 16):
+        batch = assemble_batch(samples[i:i + 16], packer)
+        batch["valid"] = np.ones(16, bool)
+        out = eval_step(trainer.state.trainable, trainer.state.frozen,
+                        trainer.state.batch_stats, batch)
+        probs.append(np.asarray(out["prob_good"]))
+        labels.append(np.asarray(out["label_good"]))
+    auc = roc_auc(np.concatenate(labels), np.concatenate(probs))
+    assert auc > 0.85, f"model failed to learn: AUC={auc:.3f}"
