@@ -145,19 +145,21 @@ class WordPieceTokenizer:
 
 class HashTokenizer:
     """Deterministic vocab-free tokenizer with the same interface: words map
-    to stable hashes in [n_reserved, vocab_size). Test/bench stand-in only."""
-
-    RESERVED = 999  # mimic BERT layout: [PAD]=0, [UNK]=100, [CLS]=101, [SEP]=102
+    to stable hashes in (reserved, vocab_size). Test/bench stand-in only."""
 
     def __init__(self, vocab_size: int = 30522, lower_case: bool = True):
         self.vocab_size = vocab_size
         self.lower_case = lower_case
         self.pad_id, self.unk_id, self.cls_id, self.sep_id = 0, 100, 101, 102
         self.sent_id = vocab_size
+        # BERT-like reserved prefix, shrunk for tiny test vocabs — word ids
+        # MUST stay < vocab_size or the packer's OOV clamp maps them to PAD.
+        self.reserved = 999 if vocab_size >= 2000 else 103
+        assert vocab_size > self.reserved + 1
 
     def _word_id(self, word: str) -> int:
         h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "little")
-        return self.RESERVED + 1 + h % (self.vocab_size - self.RESERVED - 1)
+        return self.reserved + 1 + h % (self.vocab_size - self.reserved - 1)
 
     def encode(self, text: str, max_length: Optional[int] = None) -> List[int]:
         ids = [self._word_id(w) for w in basic_tokenize(text, self.lower_case)]

@@ -297,3 +297,13 @@ def test_train_batches_are_full_and_shuffled(tmp_path):
     loader.close()
     assert all(b["valid"].all() for b in got)
     assert got[0]["user_tokens"].shape == (16, 32)
+
+
+def test_hash_tokenizer_ids_in_vocab_range():
+    """Regression: small-vocab HashTokenizer must emit ids < vocab_size,
+    or the packer's OOV clamp silently maps every word to PAD."""
+    for vs in (200, 500, 30522):
+        tok = HashTokenizer(vocab_size=vs)
+        ids = tok.encode("the great bike broke badly yesterday")
+        assert ids, "no ids"
+        assert all(0 < i < vs for i in ids), (vs, ids)

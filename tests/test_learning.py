@@ -50,8 +50,9 @@ def test_model_learns_synthetic_signal():
     import jax
 
     cfg = tiny_config("baseline", batch_size=16, accum=1, data_parallel=2)
-    cfg.train.optim.lr = 3e-3
-    cfg.train.optim.freeze_steps = 10_000  # LoRA stays off; experts learn
+    cfg.train.optim.lr = 1e-3
+    cfg.train.optim.freeze_steps = 0       # LoRA active from step 0
+    cfg.train.optim.unfreeze_steps = 1
     cfg.model.dropout = 0.0
     cfg.model.text.hidden_dropout = 0.0
     cfg.model.text.attention_dropout = 0.0
@@ -63,12 +64,12 @@ def test_model_learns_synthetic_signal():
     trainer = Trainer(cfg)
     it = iter(loader)
     losses = []
-    for _ in range(120):
+    for _ in range(200):
         batch = stack_micro_batches([next(it)])
         m = trainer.run_step(batch)
         losses.append(float(m["main_loss"]))
     loader.close()
-    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8, \
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.5, \
         (np.mean(losses[:10]), np.mean(losses[-10:]))
 
     # held-out eval
