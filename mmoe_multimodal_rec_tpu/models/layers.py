@@ -76,10 +76,10 @@ def _dot_product_attention(q: Array, k: Array, v: Array,
                            deterministic: bool,
                            dropout_rng=None,
                            dtype=jnp.float32) -> Array:
-    """Reference (non-flash) attention. q,k,v: [B, H, L, Dh]; pad_mask [B, Lk]
-    True = pad."""
+    """Reference (non-flash) attention in head-split packed layout.
+    q,k,v: [B, L, H, Dh]; pad_mask [B, Lk] True = pad."""
     depth = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(depth)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(depth)
     if pad_mask is not None:
         scores = jnp.where(pad_mask[:, None, None, :], big_neg(dtype), scores)
     weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
@@ -87,7 +87,7 @@ def _dot_product_attention(q: Array, k: Array, v: Array,
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
 class Attention(nn.Module):
@@ -126,10 +126,6 @@ class Attention(nn.Module):
         assert d % self.num_heads == 0, (d, self.num_heads)
         head_dim = d // self.num_heads
 
-        def split(x):
-            b, l, _ = x.shape
-            return x.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-
         qp = self._proj("query", d)
         kp = self._proj("key", d)
         vp = self._proj("value", d)
@@ -139,9 +135,12 @@ class Attention(nn.Module):
                 return p(x, deterministic=deterministic)
             return p(x)
 
-        q = split(apply(qp, query))
-        k = split(apply(kp, key))
-        v = split(apply(vp, value))
+        # Stay in the projections' packed [B, L, H*dh] layout end to end:
+        # the fused kernel takes per-head slices of the last dim, so no
+        # [B,H,L,dh] transpose (XLA copy) is ever materialized.
+        q = apply(qp, query)
+        k = apply(kp, key)
+        v = apply(vp, value)
 
         dropout_rng = None
         rate = self.dropout if (self.dropout > 0.0 and not deterministic) \
@@ -149,27 +148,27 @@ class Attention(nn.Module):
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
 
-        if self.use_flash and _flash_ok(q, rate):
+        if self.use_flash and _flash_ok(q, head_dim, rate):
             from ..ops.flash_attention import flash_attention
             seed = None
             if rate > 0.0:
-                # in-kernel PRNG dropout; fwd/bwd kernels share this seed
+                # in-kernel hash dropout; fwd/bwd kernels share this seed
                 seed = jax.random.randint(dropout_rng, (), 0, 2**31 - 1,
                                           jnp.int32)
-            out = flash_attention(q, k, v, pad_mask, seed, rate)
+            out = flash_attention(q, k, v, pad_mask, seed, self.num_heads,
+                                  rate)
         else:
+            b, l, _ = q.shape
+            split = lambda x: x.reshape(b, -1, self.num_heads, head_dim)
             out = _dot_product_attention(
-                q, k, v, pad_mask, self.dropout, deterministic,
-                dropout_rng, self.dtype)
-
-        b, h, l, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+                split(q), split(k), split(v), pad_mask, self.dropout,
+                deterministic, dropout_rng, self.dtype).reshape(b, l, d)
         return nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="out")(out)
 
 
-def _flash_ok(q: Array, dropout_rate: float = 0.0) -> bool:
-    # Pallas kernel wants lane-aligned head dims and a real TPU backend;
+def _flash_ok(q: Array, head_dim: int, dropout_rate: float = 0.0) -> bool:
+    # Pallas kernel wants lane-aligned head slices and a real TPU backend;
     # with dropout the whole sequence must fit one q block (seed alignment).
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
@@ -178,7 +177,7 @@ def _flash_ok(q: Array, dropout_rate: float = 0.0) -> bool:
     lq = q.shape[-2]
     if dropout_rate > 0.0 and lq > 512:
         return False
-    return on_tpu and q.shape[-1] % 128 in (0, 64) and lq >= 128
+    return on_tpu and head_dim % 128 in (0, 64) and lq >= 128
 
 
 class Mlp(nn.Module):

@@ -1,20 +1,24 @@
-"""Pallas TPU fused attention for the encoder hot paths, with in-kernel
-attention-weight dropout.
+"""Pallas TPU fused attention for the encoder hot paths — layout-native,
+with in-kernel attention-weight dropout.
 
-The reference's FLOPs live in BGE attention over <=384-token chunks and ViT
-attention over 197 tokens (SURVEY §3.2); at those lengths the win is not
-streaming softmax over a huge sequence but never materializing the [L, L]
-probability matrix in HBM: each kernel instance loads one query block plus
-the full K/V for its (batch, head) into VMEM and does
-QK^T -> mask -> softmax -> (dropout) -> PV in one pass on the MXU/VPU.
-Matmuls run in the input dtype (bf16 in training) with fp32 accumulation.
+Layout: q/k/v arrive EXACTLY as the q/k/v Dense projections produce them —
+[B, L, H*dh] — and the output leaves in the same layout for the out
+projection.  The per-head views are static 64-column slices of the last
+dim, so no [B,H,L,dh] transpose ever exists: profiling the train step showed
+~20% of device time burned in XLA "data formatting" copies feeding the
+earlier [B,H,L,dh] kernel layout.
+
+Each kernel instance handles one batch row x one q block x one head group
+(head groups sized so the merged slice stays 128-lane aligned), computing
+QK^T -> mask -> softmax -> (dropout) -> PV per head in VMEM; matmuls run in
+the input dtype (bf16 in training) with fp32 accumulation; only softmax is
+fp32.  The [L, L] probability matrix never reaches HBM.
 
 Attention-weight dropout (torch MultiheadAttention semantics, used by every
-reference attention module) runs inside the kernel via the TPU PRNG: forward
-and backward seed identically per (batch, head), so the backward — also a
-Pallas kernel — regenerates the exact keep mask instead of storing an
-[B, H, L, L] mask in HBM.  With dropout off, the backward is a cheap XLA
-recompute (fused well at these lengths).
+reference attention module) uses a counter-based murmur-finalizer hash over
+(seed, batch, head, position): backend-independent, so the Pallas forward,
+the Pallas backward (which regenerates the same keep mask instead of storing
+[B,H,L,L] in HBM) and the jnp test reference all see the identical stream.
 
 Padded keys are masked via an int8 [B, L] pad mask (1 = pad), the torch
 `key_padding_mask` convention used throughout the reference.
@@ -31,15 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+_LANE = 128
 
 
 def _hash_bits(seed, base, shape):
     """Counter-based 32-bit hash (murmur3-finalizer style) over a unique
-    per-element index.  Backend-independent: the Pallas kernels and the
-    jnp reference generate the SAME stream, so forward/backward masks align
-    and the whole path is testable off-TPU (the TPU-interpret PRNG stubs
-    prng_random_bits to zeros, so a real PRNG primitive would be
-    untestable in CI)."""
+    per-element index; identical on every backend."""
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = (base.astype(jnp.uint32) + rows * jnp.uint32(shape[1]) + cols)
@@ -53,7 +54,6 @@ def _hash_bits(seed, base, shape):
 
 
 def _keep_mask(seed, base, shape, rate: float):
-    """Bernoulli keep mask: keep iff hash_bits >= rate * 2^32."""
     threshold = jnp.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
     return _hash_bits(seed, base, shape) >= threshold
 
@@ -64,26 +64,31 @@ def _softmax_fp32(scores):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+def _head_group(dh: int, n_heads: int, max_heads: int) -> int:
+    """Heads per program: the merged slice width (hb*dh) must be a 128-lane
+    multiple and divide the head count; bounded by max_heads for VMEM."""
+    for hb in range(min(max_heads, n_heads), 0, -1):
+        if n_heads % hb == 0 and (hb * dh) % _LANE == 0:
+            return hb
+    return n_heads
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                scale: float, dropout_rate: float, head_block: int,
+                scale: float, dropout_rate: float, dh: int, hb: int,
                 n_heads: int):
-    # One program per (batch row, q block, head group); heads inner-unrolled
-    # so the grid stays small (per-program dispatch overhead dominates with
-    # B*H*nq tiny programs of ~40 MFLOP each), with head_block bounding the
-    # per-program VMEM (scoped vmem limit is 16MB).
-    # q: [1, hb, bq, dh]; k,v: [1, hb, Lk, dh]; mask: [1, 1, Lk]; o like q.
+    # q: [1, bq, hb*dh]; k,v: [1, Lk, hb*dh]; mask: [1, 1, Lk]; o like q.
     mask = mask_ref[0, 0, :]
     bi, qi, gi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nq = pl.num_programs(1)
-    for h in range(head_block):
-        h_abs = gi * head_block + h
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
+    for h in range(hb):
+        h_abs = gi * hb + h
+        q = q_ref[0, :, h * dh:(h + 1) * dh]
+        k = k_ref[0, :, h * dh:(h + 1) * dh]
+        v = v_ref[0, :, h * dh:(h + 1) * dh]
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -94,94 +99,98 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
             keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
             p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
         p = p.astype(v.dtype)
-        o_ref[0, h, :, :] = jax.lax.dot_general(
+        o_ref[0, :, h * dh:(h + 1) * dh] = jax.lax.dot_general(
             p, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _pad_inputs(q, k, v, pad_mask, block_q):
-    b, h, lq, dh = q.shape
-    lk = k.shape[2]
+def _pad_packed(q, k, v, pad_mask, block_q):
+    b, lq, d = q.shape
+    lk = k.shape[1]
     if pad_mask is None:
         pad_mask = jnp.zeros((b, lk), jnp.int8)
     else:
         pad_mask = pad_mask.astype(jnp.int8)
-    pad_lk = -(-lk // 128) * 128
+    pad_lk = -(-lk // _LANE) * _LANE
     if pad_lk != lk:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_lk - lk), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_lk - lk), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad_lk - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_lk - lk), (0, 0)))
         pad_mask = jnp.pad(pad_mask, ((0, 0), (0, pad_lk - lk)),
                            constant_values=1)
     bq = min(block_q, lq)
     nq = pl.cdiv(lq, bq)
     pad_lq = nq * bq
     if pad_lq != lq:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_lq - lq), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, pad_lq - lq), (0, 0)))
     return q, k, v, pad_mask, bq, nq, pad_lq, pad_lk
 
 
-def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, block_q: int,
-                              dropout_rate: float, interpret: bool = False):
-    b, h, lq, dh = q.shape
+def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, n_heads: int,
+                              block_q: int, dropout_rate: float,
+                              interpret: bool = False):
+    b, lq, d = q.shape
+    dh = d // n_heads
     scale = 1.0 / math.sqrt(dh)
-    q, k, v, pad_mask, bq, nq, pad_lq, lk = _pad_inputs(q, k, v, pad_mask,
+    q, k, v, pad_mask, bq, nq, pad_lq, lk = _pad_packed(q, k, v, pad_mask,
                                                         block_q)
+    hb = _head_group(dh, n_heads, max_heads=4)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
-    hb = math.gcd(h, 4)
-    grid = (b, nq, h // hb)
+    grid = (b, nq, n_heads // hb)
+    w = hb * dh
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
-                          dropout_rate=dropout_rate, head_block=hb,
-                          n_heads=h),
+                          dropout_rate=dropout_rate, dh=dh, hb=hb,
+                          n_heads=n_heads),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, hb, bq, dh),
-                             lambda bi, qi, gi, *_: (bi, gi, qi, 0),
+                pl.BlockSpec((1, bq, w),
+                             lambda bi, qi, gi, *_: (bi, qi, gi),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hb, lk, dh),
-                             lambda bi, qi, gi, *_: (bi, gi, 0, 0),
+                pl.BlockSpec((1, lk, w),
+                             lambda bi, qi, gi, *_: (bi, 0, gi),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hb, lk, dh),
-                             lambda bi, qi, gi, *_: (bi, gi, 0, 0),
+                pl.BlockSpec((1, lk, w),
+                             lambda bi, qi, gi, *_: (bi, 0, gi),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, lk), lambda bi, qi, gi, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, hb, bq, dh),
-                                   lambda bi, qi, gi, *_: (bi, gi, qi, 0),
+            out_specs=pl.BlockSpec((1, bq, w),
+                                   lambda bi, qi, gi, *_: (bi, qi, gi),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, pad_lq, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, pad_lq, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * pad_lq * lk * dh,
+            flops=4 * b * pad_lq * lk * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * h * pad_lq * lk),
+            transcendentals=b * n_heads * pad_lq * lk),
         interpret=interpret,
     )(seed_arr, q, k, v, pad_mask[:, None, :])
     if pad_lq != lq:
-        out = out[:, :, :lq]
+        out = out[:, :lq]
     return out
 
 
 # ---------------------------------------------------------------------------
-# Backward (Pallas, regenerates the dropout mask from the same seeds)
+# Backward (Pallas, regenerates the dropout mask from the same hash stream)
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float,
-                head_block: int, n_heads: int):
-    # One program per (batch row, head group), single q block (the dropout
-    # seed stream assumes nq == 1).
+                dh: int, hb: int, n_heads: int):
+    # One program per (batch row, head group), single q block (dropout seed
+    # stream assumes nq == 1).
     mask = mask_ref[0, 0, :]
     bi, gi = pl.program_id(0), pl.program_id(1)
-    for h in range(head_block):
-        h_abs = gi * head_block + h
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        do = do_ref[0, h].astype(jnp.float32)
+    for h in range(hb):
+        h_abs = gi * hb + h
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl].astype(jnp.float32)
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -194,7 +203,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
             p_drop = jnp.where(keep, p * inv, 0.0)
         else:
             p_drop = p
-        dv_ref[0, h, :, :] = jax.lax.dot_general(
+        dv_ref[0, :, sl] = jax.lax.dot_general(
             p_drop.astype(do_ref.dtype), do.astype(do_ref.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)
@@ -205,37 +214,37 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
             dp = jnp.where(keep, dp * inv, 0.0)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         ds = (ds * scale).astype(q.dtype)
-        dq_ref[0, h, :, :] = jax.lax.dot_general(
+        dq_ref[0, :, sl] = jax.lax.dot_general(
             ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[0, h, :, :] = jax.lax.dot_general(
+        dk_ref[0, :, sl] = jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *,
+def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *, n_heads: int,
                               dropout_rate: float, interpret: bool = False):
-    b, h, lq, dh = q.shape
-    lk_orig = k.shape[2]
+    b, lq, d = q.shape
+    dh = d // n_heads
+    lk_orig = k.shape[1]
     scale = 1.0 / math.sqrt(dh)
-    # single q block (the dropout seed stream assumes nq == 1)
-    q_p, k_p, v_p, mask_p, bq, nq, pad_lq, lk = _pad_inputs(
+    q_p, k_p, v_p, mask_p, bq, nq, pad_lq, lk = _pad_packed(
         q, k, v, pad_mask, block_q=max(lq, 8))
     assert nq == 1
     if pad_lq != lq:
-        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_lq - lq), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad_lq - lq), (0, 0)))
+    hb = _head_group(dh, n_heads, max_heads=2)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
-    hb = math.gcd(h, 2)   # bwd holds ~3x the temporaries of fwd
-    grid = (b, h // hb)
-    spec_q = pl.BlockSpec((1, hb, pad_lq, dh),
-                          lambda bi, gi, *_: (bi, gi, 0, 0),
+    grid = (b, n_heads // hb)
+    w = hb * dh
+    spec_q = pl.BlockSpec((1, pad_lq, w), lambda bi, gi, *_: (bi, 0, gi),
                           memory_space=pltpu.VMEM)
-    spec_k = pl.BlockSpec((1, hb, lk, dh), lambda bi, gi, *_: (bi, gi, 0, 0),
+    spec_k = pl.BlockSpec((1, lk, w), lambda bi, gi, *_: (bi, 0, gi),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale,
-                          dropout_rate=dropout_rate, head_block=hb,
-                          n_heads=h),
+                          dropout_rate=dropout_rate, dh=dh, hb=hb,
+                          n_heads=n_heads),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -245,50 +254,56 @@ def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *,
                       spec_q],
             out_specs=[spec_q, spec_k, spec_k],
         ),
-        out_shape=[jax.ShapeDtypeStruct((b, h, pad_lq, dh), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, lk, dh), k.dtype),
-                   jax.ShapeDtypeStruct((b, h, lk, dh), v.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((b, pad_lq, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, lk, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, lk, d), v.dtype)],
         interpret=interpret,
     )(seed_arr, q_p, k_p, v_p, mask_p[:, None, :], g)
-    return (dq[:, :, :lq], dk[:, :, :lk_orig], dv[:, :, :lk_orig])
+    return (dq[:, :lq], dk[:, :lk_orig], dv[:, :lk_orig])
 
 
 # ---------------------------------------------------------------------------
-# Reference implementation (ground truth + dropout-free XLA backward)
+# Reference implementations (ground truth + dropout-free XLA backward)
 # ---------------------------------------------------------------------------
 
-def _reference_attention(q, k, v, pad_mask):
-    dh = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                        k.astype(jnp.float32)) / math.sqrt(dh)
+def _split_heads(x, n_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, n_heads, d // n_heads)
+
+
+def _reference_attention(q, k, v, pad_mask, n_heads):
+    """[B, L, D]-layout einsum attention (ground truth)."""
+    qh, kh, vh = (_split_heads(x, n_heads) for x in (q, k, v))
+    dh = qh.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                        kh.astype(jnp.float32)) / math.sqrt(dh)
     if pad_mask is not None:
         scores = jnp.where(pad_mask[:, None, None, :] != 0, NEG_INF, scores)
     p = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p,
-                      v.astype(jnp.float32)).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, vh.astype(jnp.float32))
+    return out.reshape(q.shape).astype(q.dtype)
 
 
-def _reference_attention_with_mask(q, k, v, pad_mask, keep, rate):
-    """Einsum attention applying an explicit keep mask (testing only)."""
-    dh = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                        k.astype(jnp.float32)) / math.sqrt(dh)
+def _reference_attention_with_mask(q, k, v, pad_mask, keep, rate, n_heads):
+    """Einsum attention applying an explicit keep mask [B, H, Lq, Lk]
+    (testing only)."""
+    qh, kh, vh = (_split_heads(x, n_heads) for x in (q, k, v))
+    dh = qh.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                        kh.astype(jnp.float32)) / math.sqrt(dh)
     if pad_mask is not None:
         scores = jnp.where(pad_mask[:, None, None, :] != 0, NEG_INF, scores)
     p = jax.nn.softmax(scores, axis=-1)
     p = jnp.where(keep, p / (1.0 - rate), 0.0)
-    return jnp.einsum("bhqk,bhkd->bhqd", p,
-                      v.astype(jnp.float32)).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, vh.astype(jnp.float32))
+    return out.reshape(q.shape).astype(q.dtype)
 
 
 def dropout_keep_mask(seed: int, b: int, h: int, lq: int, lk: int,
-                      rate: float, lk_padded: Optional[int] = None,
-                      interpret: bool = False):
-    """The kernels' keep mask (single-q-block seed stream) computed with the
-    same backend-independent hash — verifies fwd/bwd against einsum attention
-    with the identical mask.  `lk_padded` defaults to lk rounded up to 128
-    (the kernel pads K that way; mask columns beyond lk are discarded)."""
-    lk_p = lk_padded or (-(-lk // 128) * 128)
+                      rate: float, lk_padded: Optional[int] = None):
+    """The kernels' keep mask (single-q-block stream) via the same hash —
+    lets tests verify fwd/bwd against einsum attention with the same mask."""
+    lk_p = lk_padded or (-(-lk // _LANE) * _LANE)
     seed_a = jnp.asarray(seed, jnp.int32)
     masks = []
     for bi in range(b):
@@ -304,55 +319,59 @@ def dropout_keep_mask(seed: int, b: int, h: int, lq: int, lk: int,
 # Public API with custom VJP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def flash_attention(q, k, v, pad_mask=None, seed=None,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def flash_attention(q, k, v, pad_mask=None, seed=None, n_heads: int = 12,
                     dropout_rate: float = 0.0, block_q: int = 512,
                     interpret: bool = False):
-    """Fused attention. q,k,v: [B, H, L, Dh]; pad_mask: [B, Lk] (1 = pad);
-    seed: int32 scalar for attention-weight dropout (ignored at rate 0).
+    """Fused attention in packed layout. q: [B, Lq, H*dh]; k,v: [B, Lk, H*dh];
+    pad_mask: [B, Lk] (1 = pad); seed: int32 scalar for attention-weight
+    dropout (ignored at rate 0).
 
     With dropout_rate > 0 the whole sequence must fit one q block
-    (block_q >= Lq) so forward/backward PRNG streams align.
+    (block_q >= Lq) so forward/backward hash streams align.
     """
     if dropout_rate > 0.0:
-        assert block_q >= q.shape[2], "dropout needs a single q block"
+        assert block_q >= q.shape[1], "dropout needs a single q block"
     return _fused_attention_fwd_impl(q, k, v, pad_mask, seed,
-                                     block_q=block_q,
+                                     n_heads=n_heads, block_q=block_q,
                                      dropout_rate=dropout_rate,
                                      interpret=interpret)
 
 
-def _vjp_fwd(q, k, v, pad_mask, seed, dropout_rate, block_q, interpret):
+def _vjp_fwd(q, k, v, pad_mask, seed, n_heads, dropout_rate, block_q,
+             interpret):
     out = _fused_attention_fwd_impl(q, k, v, pad_mask, seed,
-                                    block_q=block_q,
+                                    n_heads=n_heads, block_q=block_q,
                                     dropout_rate=dropout_rate,
                                     interpret=interpret)
     return out, (q, k, v, pad_mask, seed)
 
 
-def _vjp_bwd(dropout_rate, block_q, interpret, residuals, g):
+def _vjp_bwd(n_heads, dropout_rate, block_q, interpret, residuals, g):
     q, k, v, pad_mask, seed = residuals
     if dropout_rate > 0.0:
         dq, dk, dv = _fused_attention_bwd_impl(
-            q, k, v, pad_mask, seed, g, dropout_rate=dropout_rate,
-            interpret=interpret)
+            q, k, v, pad_mask, seed, g, n_heads=n_heads,
+            dropout_rate=dropout_rate, interpret=interpret)
         return dq, dk, dv, None, None
     # rate 0: plain XLA recompute (fuses well at these lengths)
-    dh = q.shape[-1]
+    qh, kh, vh = (_split_heads(x.astype(jnp.float32), n_heads)
+                  for x in (q, k, v))
+    gh = _split_heads(g.astype(jnp.float32), n_heads)
+    dh = qh.shape[-1]
     scale = 1.0 / math.sqrt(dh)
-    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
-    gf = g.astype(jnp.float32)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
     if pad_mask is not None:
         scores = jnp.where(pad_mask[:, None, None, :] != 0, NEG_INF, scores)
     p = jax.nn.softmax(scores, axis=-1)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gh)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gh, vh)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            None, None)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kh) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qh) * scale
+    return (dq.reshape(q.shape).astype(q.dtype),
+            dk.reshape(k.shape).astype(k.dtype),
+            dv.reshape(v.shape).astype(v.dtype), None, None)
 
 
 flash_attention.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,6 +1,7 @@
-"""Pallas fused attention: interpret-mode numerics vs the XLA reference —
-pad masks, unaligned lengths, the VJP, and in-kernel PRNG dropout (forward
-and backward against einsum attention given the SAME keep mask)."""
+"""Pallas fused attention (packed [B, L, H*dh] layout): interpret-mode
+numerics vs the XLA reference — pad masks, unaligned lengths, the VJP, and
+hash dropout (forward and backward against einsum attention given the SAME
+keep mask)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,10 @@ import pytest
 from mmoe_multimodal_rec_tpu.ops.flash_attention import (
     _reference_attention, _reference_attention_with_mask, dropout_keep_mask,
     flash_attention)
+
+H = 4
+DH = 64
+D = H * DH
 
 
 def _rand(shape, seed=0):
@@ -19,48 +24,45 @@ def _rand(shape, seed=0):
 @pytest.mark.parametrize("lq,lk", [(384, 384), (197, 197), (64, 64),
                                    (128, 256)])
 def test_flash_matches_reference(lq, lk):
-    b, h, dh = 2, 4, 64
-    q, k, v = _rand((b, h, lq, dh), 0), _rand((b, h, lk, dh), 1), \
-        _rand((b, h, lk, dh), 2)
+    b = 2
+    q, k, v = _rand((b, lq, D), 0), _rand((b, lk, D), 1), _rand((b, lk, D), 2)
     mask = np.zeros((b, lk), np.int8)
     mask[0, -5:] = 1
     mask = jnp.asarray(mask)
-    want = _reference_attention(q, k, v, mask)
-    got = flash_attention(q, k, v, mask, None, 0.0, 128, True)
+    want = _reference_attention(q, k, v, mask, H)
+    got = flash_attention(q, k, v, mask, None, H, 0.0, 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 def test_flash_no_mask():
-    q, k, v = _rand((1, 2, 128, 64), 0), _rand((1, 2, 128, 64), 1), \
-        _rand((1, 2, 128, 64), 2)
-    want = _reference_attention(q, k, v, None)
-    got = flash_attention(q, k, v, None, None, 0.0, 128, True)
+    q, k, v = _rand((1, 128, D), 0), _rand((1, 128, D), 1), \
+        _rand((1, 128, D), 2)
+    want = _reference_attention(q, k, v, None, H)
+    got = flash_attention(q, k, v, None, None, H, 0.0, 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 def test_flash_all_masked_row_is_finite():
-    b, h, l, dh = 1, 2, 128, 64
-    q, k, v = _rand((b, h, l, dh), 0), _rand((b, h, l, dh), 1), \
-        _rand((b, h, l, dh), 2)
+    b, l = 1, 128
+    q, k, v = _rand((b, l, D), 0), _rand((b, l, D), 1), _rand((b, l, D), 2)
     mask = jnp.ones((b, l), jnp.int8)
-    got = flash_attention(q, k, v, mask, None, 0.0, 128, True)
+    got = flash_attention(q, k, v, mask, None, H, 0.0, 128, True)
     assert bool(jnp.all(jnp.isfinite(got)))
 
 
 def test_flash_vjp_matches_reference():
-    b, h, l, dh = 1, 2, 128, 64
-    q, k, v = _rand((b, h, l, dh), 0), _rand((b, h, l, dh), 1), \
-        _rand((b, h, l, dh), 2)
+    b, l = 1, 128
+    q, k, v = _rand((b, l, D), 0), _rand((b, l, D), 1), _rand((b, l, D), 2)
     mask = np.zeros((b, l), np.int8)
     mask[0, -9:] = 1
     mask = jnp.asarray(mask)
 
     def f_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, mask, None, 0.0, 128,
+        return jnp.sum(flash_attention(q, k, v, mask, None, H, 0.0, 128,
                                        True) ** 2)
 
     def f_ref(q, k, v):
-        return jnp.sum(_reference_attention(q, k, v, mask) ** 2)
+        return jnp.sum(_reference_attention(q, k, v, mask, H) ** 2)
 
     g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
@@ -75,36 +77,35 @@ def test_flash_vjp_matches_reference():
 RATE = 0.3
 
 
-def _dropout_setup(b=2, h=3, l=128, dh=64, seed_val=1234):
-    q, k, v = _rand((b, h, l, dh), 0), _rand((b, h, l, dh), 1), \
-        _rand((b, h, l, dh), 2)
+def _dropout_setup(b=2, l=128, seed_val=1234):
+    q, k, v = _rand((b, l, D), 0), _rand((b, l, D), 1), _rand((b, l, D), 2)
     mask = np.zeros((b, l), np.int8)
     mask[0, -4:] = 1
     mask = jnp.asarray(mask)
     seed = jnp.asarray(seed_val, jnp.int32)
-    keep = dropout_keep_mask(seed_val, b, h, l, l, RATE, interpret=True)
+    keep = dropout_keep_mask(seed_val, b, H, l, l, RATE)
     return q, k, v, mask, seed, keep
 
 
 def test_flash_dropout_forward_matches_masked_einsum():
     q, k, v, mask, seed, keep = _dropout_setup()
-    got = flash_attention(q, k, v, mask, seed, RATE, 512, True)
-    want = _reference_attention_with_mask(q, k, v, mask, keep, RATE)
+    got = flash_attention(q, k, v, mask, seed, H, RATE, 512, True)
+    want = _reference_attention_with_mask(q, k, v, mask, keep, RATE, H)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
 def test_flash_dropout_is_seed_deterministic():
     q, k, v, mask, seed, _ = _dropout_setup()
-    a = flash_attention(q, k, v, mask, seed, RATE, 512, True)
-    b_ = flash_attention(q, k, v, mask, seed, RATE, 512, True)
+    a = flash_attention(q, k, v, mask, seed, H, RATE, 512, True)
+    b_ = flash_attention(q, k, v, mask, seed, H, RATE, 512, True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
-    c = flash_attention(q, k, v, mask, jnp.asarray(999, jnp.int32), RATE,
+    c = flash_attention(q, k, v, mask, jnp.asarray(999, jnp.int32), H, RATE,
                         512, True)
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
 def test_flash_dropout_keep_fraction_sane():
-    _, _, _, _, _, keep = _dropout_setup(b=4, h=4, l=256)
+    _, _, _, _, _, keep = _dropout_setup(b=4, l=256)
     frac = float(np.asarray(keep).mean())
     assert abs(frac - (1 - RATE)) < 0.01
 
@@ -113,12 +114,12 @@ def test_flash_dropout_vjp_matches_masked_einsum():
     q, k, v, mask, seed, keep = _dropout_setup()
 
     def f_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, mask, seed, RATE, 512,
+        return jnp.sum(flash_attention(q, k, v, mask, seed, H, RATE, 512,
                                        True) ** 2)
 
     def f_ref(q, k, v):
-        return jnp.sum(
-            _reference_attention_with_mask(q, k, v, mask, keep, RATE) ** 2)
+        return jnp.sum(_reference_attention_with_mask(q, k, v, mask, keep,
+                                                      RATE, H) ** 2)
 
     g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
