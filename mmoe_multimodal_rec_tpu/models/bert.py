@@ -41,13 +41,13 @@ class BertLayer(nn.Module):
                                         deterministic=deterministic)
         h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
         # Post-LN residual (BERT style).
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attention_norm")(x + h.astype(x.dtype))
         h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=nn.gelu,
                 dropout=0.0, out_dropout=cfg.hidden_dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name="mlp")(x.astype(self.dtype), deterministic=deterministic)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="output_norm")(x + h.astype(x.dtype))
 
 
@@ -83,7 +83,7 @@ class BertEncoder(nn.Module):
                             name="token_type_embeddings")(
                                 jnp.zeros((1, l), jnp.int32))
         x = word + pos + tok_type
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="embeddings_norm")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         x = x.astype(self.dtype)

@@ -69,7 +69,7 @@ class RobustTextCrossExpert(nn.Module):
                                          deterministic=deterministic)
         if not self.final_mlp:
             return pooled
-        normed = nn.LayerNorm(dtype=jnp.float32, name="norm")(pooled)
+        normed = nn.LayerNorm(dtype=self.dtype, name="norm")(pooled)
         normed = normed.astype(self.dtype)
         mlp_out = Mlp(4 * d, d, activation=nn.gelu, dropout=self.dropout,
                       out_dropout=self.dropout, dtype=self.dtype,
@@ -94,7 +94,7 @@ class EnhancedCrossFuse(nn.Module):
         cat = jnp.concatenate([v_cls, t_cls], axis=-1)
         identity = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
                             name="res_proj")(cat)
-        identity = nn.LayerNorm(dtype=jnp.float32,
+        identity = nn.LayerNorm(dtype=self.dtype,
                                 name="res_norm")(identity).astype(self.dtype)
 
         x = jnp.stack([v_cls, t_cls], axis=1)  # [B, 2, D]
@@ -118,7 +118,7 @@ class EnhancedCrossFuse(nn.Module):
 
         if not self.final_proj:
             return fused + identity
-        out = nn.LayerNorm(dtype=jnp.float32,
+        out = nn.LayerNorm(dtype=self.dtype,
                            name="proj_norm")(fused + identity)
         out = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
                        name="proj_fc")(out.astype(self.dtype))

@@ -39,7 +39,7 @@ class Tower(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(self.dtype)
         x = nn.Dense(self.hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
         x = nn.gelu(x)

@@ -61,7 +61,7 @@ class HomeTower(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(self.dtype)
         x = nn.Dense(self.hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
         x = nn.gelu(x)
@@ -96,7 +96,7 @@ class HomeMMoEHead(nn.Module):
         flat = expert_vecs.reshape(b, n * d)
         proj = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="input_projection")(flat)
-        proj = nn.LayerNorm(dtype=jnp.float32, name="input_norm")(proj)
+        proj = nn.LayerNorm(dtype=self.dtype, name="input_norm")(proj)
         proj = nn.gelu(proj.astype(self.dtype))
         shared_input = proj + jnp.mean(expert_vecs, axis=1)
 

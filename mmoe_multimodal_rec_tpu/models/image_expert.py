@@ -56,7 +56,7 @@ class ItemImageExpert(nn.Module):
             vec = jnp.mean(tokens, axis=1)
         else:
             vec = tokens[:, 0]
-        vec = nn.LayerNorm(dtype=jnp.float32, name="norm")(vec)
+        vec = nn.LayerNorm(dtype=self.dtype, name="norm")(vec)
         vec = nn.Dropout(self.dropout)(vec.astype(self.dtype),
                                        deterministic=deterministic)
         return vec

@@ -218,14 +218,14 @@ class PreNormBlock(nn.Module):
     def __call__(self, x: Array, pad_mask: Optional[Array] = None, *,
                  deterministic: bool = True) -> Array:
         d = x.shape[-1]
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = Attention(self.num_heads, dropout=self.dropout,
                       use_flash=self.use_flash, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="self_attn")(
                           h, h, h, pad_mask, deterministic=deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + h.astype(x.dtype)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = Mlp(self.mlp_ratio * d, d, activation=nn.relu,
                 dropout=self.dropout, out_dropout=self.dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,

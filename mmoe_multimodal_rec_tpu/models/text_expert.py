@@ -76,7 +76,7 @@ class TextExpert(nn.Module):
         doc_vecs = doc_vecs.astype(self.dtype)
 
         if self.final_norm:
-            norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+            norm = nn.LayerNorm(dtype=self.dtype, name="norm")
             drop = nn.Dropout(self.dropout)
             sent_vecs = drop(norm(sent_vecs).astype(self.dtype),
                              deterministic=deterministic)

@@ -29,7 +29,7 @@ class ViTLayer(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         cfg = self.cfg
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm1")(x)
         h = Attention(cfg.num_heads, dropout=cfg.attention_dropout,
                       use_flash=self.use_flash, dtype=self.dtype,
@@ -39,7 +39,7 @@ class ViTLayer(nn.Module):
                                         deterministic=deterministic)
         h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
         x = x + h.astype(x.dtype)
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm2")(x)
         h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=nn.gelu,
                 dropout=cfg.hidden_dropout, out_dropout=cfg.hidden_dropout,
@@ -90,5 +90,5 @@ class ViTEncoder(nn.Module):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash,
                           name=f"layer_{i}")(x, deterministic)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="final_norm")(x)

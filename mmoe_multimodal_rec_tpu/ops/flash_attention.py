@@ -133,7 +133,7 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, n_heads: int,
     scale = 1.0 / math.sqrt(dh)
     q, k, v, pad_mask, bq, nq, pad_lq, lk = _pad_packed(q, k, v, pad_mask,
                                                         block_q)
-    hb = _head_group(dh, n_heads, max_heads=4)
+    hb = _head_group(dh, n_heads, max_heads=6)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
     grid = (b, nq, n_heads // hb)
     w = hb * dh
