@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import TextEncoderConfig
-from .layers import Attention, Array, Mlp
+from .layers import Attention, Array, Mlp, HashDropout
 
 
 class BertLayer(nn.Module):
@@ -39,7 +39,7 @@ class BertLayer(nn.Module):
                       lora_targets=cfg.lora_targets,
                       name="attention")(x, x, x, pad_mask,
                                         deterministic=deterministic)
-        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+        h = HashDropout(cfg.hidden_dropout)(h, deterministic=deterministic)
         # Post-LN residual (BERT style).
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attention_norm")(x + h.astype(x.dtype))
@@ -85,7 +85,7 @@ class BertEncoder(nn.Module):
         x = word + pos + tok_type
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="embeddings_norm")(x)
-        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        x = HashDropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         x = x.astype(self.dtype)
         # jax.checkpoint per layer trades recompute for HBM when training
         # full-size encoders (static_argnums: self, deterministic).

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Array, AttnPool1D, Attention, Mlp, PreNormBlock
+from .layers import Array, AttnPool1D, Attention, Mlp, PreNormBlock, HashDropout
 
 
 class RobustTextCrossExpert(nn.Module):
@@ -123,4 +123,4 @@ class EnhancedCrossFuse(nn.Module):
         out = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
                        name="proj_fc")(out.astype(self.dtype))
         out = nn.gelu(out)
-        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return HashDropout(self.dropout)(out, deterministic=deterministic)

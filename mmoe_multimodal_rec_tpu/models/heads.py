@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Array
+from .layers import Array, HashDropout
 
 
 class DenseGate(nn.Module):
@@ -43,11 +43,11 @@ class Tower(nn.Module):
         x = nn.Dense(self.hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
         x = nn.gelu(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = HashDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.hidden // 2, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc2")(x)
         x = nn.gelu(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = HashDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(1, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="fc3")(x)
         return jnp.squeeze(x, -1)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Array, BatchNorm1D, Mlp
+from .layers import Array, BatchNorm1D, Mlp, HashDropout
 
 
 class FeatureGate(nn.Module):
@@ -65,7 +65,7 @@ class HomeTower(nn.Module):
         x = nn.Dense(self.hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
         x = nn.gelu(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = HashDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(1, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="fc2")(x)
         return jnp.squeeze(x, -1)
@@ -180,5 +180,5 @@ class HomeExpertWrapper(nn.Module):
                         dtype=self.dtype, name="norm")(
             flat, use_running_average=use_running_average)
         y = jax.nn.silu(y)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = HashDropout(self.dropout)(y, deterministic=deterministic)
         return y.reshape(shape)

@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..config import ImageEncoderConfig
-from .layers import Array, Mlp
+from .layers import Array, Mlp, HashDropout
 from .vit import ViTEncoder
 
 # ImageNet stats (ref model.py:172-173), expanded to the (C, 16, 16) row.
@@ -57,7 +57,7 @@ class ItemImageExpert(nn.Module):
         else:
             vec = tokens[:, 0]
         vec = nn.LayerNorm(dtype=self.dtype, name="norm")(vec)
-        vec = nn.Dropout(self.dropout)(vec.astype(self.dtype),
+        vec = HashDropout(self.dropout)(vec.astype(self.dtype),
                                        deterministic=deterministic)
         return vec
 

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..config import TextEncoderConfig
 from .bert import BertEncoder
-from .layers import Array
+from .layers import Array, HashDropout
 
 
 class TextExpert(nn.Module):
@@ -77,7 +77,7 @@ class TextExpert(nn.Module):
 
         if self.final_norm:
             norm = nn.LayerNorm(dtype=self.dtype, name="norm")
-            drop = nn.Dropout(self.dropout)
+            drop = HashDropout(self.dropout)
             sent_vecs = drop(norm(sent_vecs).astype(self.dtype),
                              deterministic=deterministic)
             doc_vecs = drop(norm(doc_vecs).astype(self.dtype),

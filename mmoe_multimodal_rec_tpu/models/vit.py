@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import ImageEncoderConfig
-from .layers import Array, Attention, Mlp
+from .layers import Array, Attention, Mlp, HashDropout
 
 
 class ViTLayer(nn.Module):
@@ -37,7 +37,7 @@ class ViTLayer(nn.Module):
                       name="attention")(h.astype(self.dtype), h.astype(self.dtype),
                                         h.astype(self.dtype), None,
                                         deterministic=deterministic)
-        h = nn.Dropout(cfg.hidden_dropout)(h, deterministic=deterministic)
+        h = HashDropout(cfg.hidden_dropout)(h, deterministic=deterministic)
         x = x + h.astype(x.dtype)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm2")(x)
@@ -78,7 +78,7 @@ class ViTEncoder(nn.Module):
                          (1, cfg.num_patches + 1, cfg.hidden_size),
                          self.param_dtype)
         x = x + pos.astype(x.dtype)
-        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        x = HashDropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         layer_cls = ViTLayer
         if self.remat:
             import jax

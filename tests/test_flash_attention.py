@@ -125,3 +125,24 @@ def test_flash_dropout_vjp_matches_masked_einsum():
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_hash_dropout_module():
+    from mmoe_multimodal_rec_tpu.models.layers import HashDropout
+    x = jnp.ones((64, 256), jnp.float32)
+    mod = HashDropout(0.25)
+    out = mod.apply({}, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+    kept = np.asarray(out) > 0
+    assert abs(kept.mean() - 0.75) < 0.03
+    np.testing.assert_allclose(np.asarray(out)[kept], 1 / 0.75, rtol=1e-6)
+    # deterministic flag passes through untouched
+    out_det = mod.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out_det), np.asarray(x))
+    # same rng -> same mask; different rng -> different mask
+    out2 = mod.apply({}, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(0)})
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = mod.apply({}, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.array_equal(np.asarray(out), np.asarray(out3))
