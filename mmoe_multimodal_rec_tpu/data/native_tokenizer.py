@@ -101,12 +101,19 @@ class NativeWordPieceTokenizer:
         return [out[i, :lens[i]].tolist() for i in range(len(blobs))]
 
 
-def load_best_tokenizer(vocab_path: Optional[str]):
-    """Native if buildable, else pure-Python, else hash fallback."""
+def load_best_tokenizer(vocab_path: Optional[str],
+                        model_vocab_size: Optional[int] = None):
+    """Native if buildable, else pure-Python, else hash fallback.
+
+    `model_vocab_size` (embedding rows incl. <SENT>) bounds the hash
+    fallback's id range — without it a vocab-less run would emit ids past
+    the embedding table (silent clamping on CPU, NaN-skipped batches on
+    TPU)."""
     if vocab_path:
         try:
             return NativeWordPieceTokenizer(vocab_path)
         except Exception:
             return WordPieceTokenizer.from_vocab_file(vocab_path)
     from .wordpiece import HashTokenizer
-    return HashTokenizer()
+    return HashTokenizer(vocab_size=(model_vocab_size - 1)
+                         if model_vocab_size else 30522)

@@ -62,7 +62,7 @@ def evaluate(cfg: Config, model: MMoERecModel, trainable, frozen,
              output_dir: Optional[str] = None,
              save_preds: Optional[str] = None) -> Dict[str, float]:
     """Full eval pass -> {'good': auc, 'best': auc, 'n': count}."""
-    packer = packer or TextPacker(load_tokenizer(cfg.data.vocab_path),
+    packer = packer or TextPacker(load_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size),
                                   cfg.model.packer)
     batch_size = batch_size or cfg.train.batch_size
     if recalibrate:

@@ -32,7 +32,7 @@ class Predictor:
         self.model = MMoERecModel(cfg.model)
         self.batch_size = batch_size or cfg.train.batch_size
         self.packer = TextPacker(
-            tokenizer or load_best_tokenizer(cfg.data.vocab_path),
+            tokenizer or load_best_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size),
             cfg.model.packer)
         params = merge_params(trainable, frozen)
         self._variables = {"params": params}

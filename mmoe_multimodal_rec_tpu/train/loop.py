@@ -191,7 +191,7 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
     if not shards:
         raise FileNotFoundError(
             f"no shards match {cfg.data.train_pattern!r}")
-    tokenizer = load_tokenizer(cfg.data.vocab_path)
+    tokenizer = load_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size)
     packer = TextPacker(tokenizer, cfg.model.packer)
     loader = make_train_loader(
         shards, cfg.train.batch_size, packer,
