@@ -114,16 +114,25 @@ def build_user_text(rec: dict) -> str:
 
 
 def build_item_text(rec: dict) -> str:
-    """Render item metadata to the item prompt (data4model.py:138-181)."""
+    """Render item metadata to the item prompt, byte-identical to
+    data4model.py:138-181 INCLUDING its quirks (golden-tested against the
+    executed reference in tests/test_pipeline.py):
+
+    - only ``title`` is read (data4model.py:142); feature rows carry
+      ``product_title``, so items render "Item title: No title" — exactly
+      what the published checkpoints were trained on;
+    - ``normalize_text`` returns a bare str for ANY single-element input
+      (data4model.py:92) and ``smart_join`` then iterates its characters
+      (data4model.py:40-48), so single-element feature/description lists
+      render e.g. "G; r; e; a; t; ; b; i; k; e;";
+    - empty strings inside multi-element lists are kept and render ";".
+    """
     category = rec.get("main_category") or "Unknown category"
-    title = rec.get("title") or rec.get("product_title") or "No title"
+    title = rec.get("title") or "No title"
     price = rec.get("price")
     price_str = f"{price:.2f}" if price is not None else "N/A"
 
-    clean_feats = normalize_text(rec.get("features", []) or [])
-    if isinstance(clean_feats, str):
-        clean_feats = [clean_feats]
-    clean_feats = [f for f in clean_feats if f]
+    clean_feats = normalize_text(rec.get("features", []))
     features_text = (f"Item features: {_terminated(smart_join(clean_feats))}"
                      if clean_feats else "Item features: No features.")
 
@@ -131,9 +140,6 @@ def build_item_text(rec: dict) -> str:
     if isinstance(raw_descs, str):
         raw_descs = [raw_descs]
     clean_descs = normalize_text(raw_descs)
-    if isinstance(clean_descs, str):
-        clean_descs = [clean_descs]
-    clean_descs = [d for d in clean_descs if d]
     desc_text = (f"Item description: {_terminated(smart_join(clean_descs))}"
                  if clean_descs else "Item description: No description.")
 

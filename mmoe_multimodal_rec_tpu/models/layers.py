@@ -55,7 +55,9 @@ class LoRADense(nn.Module):
                         param_dtype=self.param_dtype, name="base")(x)
         if self.rank > 0:
             # peft init: A kaiming-uniform(a=sqrt(5)) on [r, in], B zeros.
-            bound = math.sqrt(6.0 / in_features)
+            # kaiming_uniform bound = gain*sqrt(3/fan_in) with
+            # gain=sqrt(2/(1+5)) => 1/sqrt(fan_in).
+            bound = 1.0 / math.sqrt(in_features)
             lora_a = self.param(
                 "lora_a",
                 lambda key, shape, dt: jax.random.uniform(

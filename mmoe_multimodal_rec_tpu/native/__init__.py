@@ -32,4 +32,7 @@ def build_native(force: bool = False) -> Optional[str]:
 
 
 def native_library_path() -> Optional[str]:
-    return _SO if os.path.exists(_SO) else build_native()
+    # Always route through build_native(): it no-ops when the .so is fresh
+    # and rebuilds when wordpiece.cpp is newer, so source edits can never be
+    # silently shadowed by a stale committed binary.
+    return build_native()

@@ -179,9 +179,14 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, n_heads: int,
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float,
-                dh: int, hb: int, n_heads: int):
+                dh: int, hb: int, n_heads: int, fwd_rows: int):
     # One program per (batch row, head group), single q block (dropout seed
-    # stream assumes nq == 1).
+    # stream assumes nq == 1).  `fwd_rows` is the UNPADDED q length the
+    # forward hashed with: the per-(batch,head) hash base must stride by
+    # fwd_rows*Lk even when this kernel's q block is padded past it, or the
+    # regenerated keep masks desynchronize for every (batch,head) after the
+    # first (padded rows only ever see zero cotangents, so their off-stream
+    # hashes are harmless).
     mask = mask_ref[0, 0, :]
     bi, gi = pl.program_id(0), pl.program_id(1)
     for h in range(hb):
@@ -197,7 +202,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
         p = _softmax_fp32(scores)                     # pre-dropout probs
         if dropout_rate > 0.0:
-            base = (bi * n_heads + h_abs) * p.shape[0] * p.shape[1]
+            base = (bi * n_heads + h_abs) * fwd_rows * p.shape[1]
             keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
             inv = 1.0 / (1.0 - dropout_rate)
             p_drop = jnp.where(keep, p * inv, 0.0)
@@ -244,7 +249,7 @@ def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *, n_heads: int,
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale,
                           dropout_rate=dropout_rate, dh=dh, hb=hb,
-                          n_heads=n_heads),
+                          n_heads=n_heads, fwd_rows=lq),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

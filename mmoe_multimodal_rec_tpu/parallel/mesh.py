@@ -72,7 +72,7 @@ def _param_spec(path: Tuple[str, ...], leaf, model_axis: str) -> P:
             return col(name)
         if parent == "fc2" and gparent == "mlp":
             return row(name)
-    if name == "lora_b" and gparent in _COL_PARALLEL:
+    if name == "lora_b" and parent in _COL_PARALLEL:
         return P(None, model_axis)
     return P()  # replicated
 

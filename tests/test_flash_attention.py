@@ -127,6 +127,33 @@ def test_flash_dropout_vjp_matches_masked_einsum():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
 
 
+def test_flash_dropout_vjp_short_lq():
+    """Regression: Lq < 8 pads the backward q block; the per-(batch,head)
+    hash base must still stride by the forward's UNPADDED Lq*Lk or the
+    regenerated keep masks desync for every (batch,head) after the first."""
+    b, lq, lk, rate, seed = 3, 4, 128, 0.25, 11
+    q, k, v = _rand((b, lq, D), 3), _rand((b, lk, D), 4), _rand((b, lk, D), 5)
+    mask = jnp.zeros((b, lk), jnp.int8)
+    keep = dropout_keep_mask(seed, b, H, lq, lk, rate)
+
+    out = flash_attention(q, k, v, mask, seed, H, rate, 512, True)
+    want = _reference_attention_with_mask(q, k, v, mask, keep, rate, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=5e-5)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, seed, H, rate, 512,
+                                       True) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_reference_attention_with_mask(q, k, v, mask, keep,
+                                                      rate, H) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
 def test_hash_dropout_module():
     from mmoe_multimodal_rec_tpu.models.layers import HashDropout
     x = jnp.ones((64, 256), jnp.float32)

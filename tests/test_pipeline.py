@@ -161,10 +161,57 @@ def test_build_item_text_templates():
     assert txt.startswith("Item category: Sports. Item title: Bike. "
                           "Item price: 12.00. ")
     assert "Item features: Light; Fast." in txt
-    assert "Item description: Great bike;" in txt  # smart_join adds ";" (terminal)
+    # reference quirk: a single-element description goes through
+    # normalize_text -> bare str -> smart_join char-iteration
+    # (data4model.py:92, 40-48)
+    assert "Item description: G; r; e; a; t; ; b; i; k; e;" in txt
     empty = build_item_text({})
     assert "Unknown category" in empty and "No title" in empty
     assert "No features." in empty and "No description." in empty
+    # reference quirk: product_title is never read (data4model.py:142)
+    assert "No title" in build_item_text({"product_title": "Bike"})
+
+
+TEXTBUILD_GOLDEN_RECORDS = [
+    {"main_category": "Sports", "title": "Bike", "price": 12.0,
+     "features": ["Light", "Fast."], "description": "Great bike"},
+    {"main_category": "S", "product_title": "Bike",
+     "features": ["only one"], "description": ["a", "b"]},
+    {"features": ["", "x"], "description": []},
+    {"title": "T&amp;T — “quoted”…", "price": 0.5,
+     "features": ["ends with period.", "no period", ""],
+     "description": ["multi\nline\ttext", "second."]},
+    {"main_category": "", "title": None, "features": [],
+     "description": ["lone description element"]},
+]
+
+TEXTBUILD_GOLDEN_USERS = [
+    {"user_feat": {}},
+    {"user_feat": {"cat_hist": {"Sports": 0.75, "Tools": 0.25, "Zero": 0},
+                   "review_cnt": 4, "price_mean": 19.99, "price_std": 2.5,
+                   "history": [{"title": "", "text": "Loved it"},
+                               {"title": "Great!", "text": ""}]}},
+    {"user_feat": {"cat_hist": {}, "review_cnt": 0, "price_mean": None,
+                   "price_std": 0.0,
+                   "history": [{"text": "ends already."}]}},
+]
+
+
+def test_textbuild_matches_reference():
+    """Golden parity: execute the reference's own normalize_text/smart_join/
+    build_*_text (data4model.py) and assert byte equality on a battery of
+    records covering every known quirk."""
+    from util import load_reference_module
+    ref = load_reference_module("data4model.py")
+    for rec in TEXTBUILD_GOLDEN_RECORDS:
+        assert build_item_text(rec) == ref.build_item_text(rec), rec
+    for rec in TEXTBUILD_GOLDEN_USERS:
+        assert build_user_text(rec) == ref.build_user_text(rec), rec
+    for val in ["a  b\tc", ["x&amp;y", "z"], ["single"], [],
+                "“q” – d…", ["", "y."]]:
+        assert normalize_text(val) == ref.normalize_text(val), val
+    for pieces in [["has period.", "no period"], ["", ";"], "chars"]:
+        assert smart_join(pieces) == ref.smart_join(pieces), pieces
 
 
 # ---------------------------------------------------------------------------

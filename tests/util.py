@@ -1,4 +1,12 @@
-"""Shared test helpers: tiny configs + synthetic packed batches."""
+"""Shared test helpers: tiny configs + synthetic packed batches + a loader
+for executing the untrusted reference's own modules (deps auto-stubbed) so
+golden parity tests compare against real reference behavior, not our reading
+of it."""
+import importlib.machinery
+import importlib.util
+import sys
+import types
+
 import numpy as np
 
 from mmoe_multimodal_rec_tpu.config import Config, tiny_config
@@ -8,7 +16,70 @@ from mmoe_multimodal_rec_tpu.data.synthetic import synthetic_raw_batch
 from mmoe_multimodal_rec_tpu.data.wordpiece import HashTokenizer
 from mmoe_multimodal_rec_tpu.data.loader import assemble_batch
 
-__all__ = ["tiny_config", "tiny_tokenizer", "packed_batch", "stacked_batch"]
+__all__ = ["tiny_config", "tiny_tokenizer", "packed_batch", "stacked_batch",
+           "load_reference_module"]
+
+REFERENCE_DIR = "/root/reference"
+
+
+class _AnyModule(types.ModuleType):
+    """Module stub that fabricates a class for any attribute access, so
+    `from apache_beam.x import Y` and `beam.DoFn` both resolve."""
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        val = type(name, (), {})
+        setattr(self, name, val)
+        return val
+
+
+_STUBBABLE = ["apache_beam", "apache_beam.options",
+              "apache_beam.options.pipeline_options", "apache_beam.io",
+              "apache_beam.io.filesystem", "apache_beam.io.fileio",
+              "webdataset", "google", "google.cloud",
+              "google.cloud.storage", "emoji", "nltk", "nltk.tokenize",
+              "httpx", "peft", "sklearn", "sklearn.metrics", "matplotlib",
+              "matplotlib.pyplot"]
+
+
+def load_reference_module(filename: str, modname: str = None):
+    """Import `/root/reference/<filename>` with unavailable heavy deps
+    replaced by attribute-fabricating stubs.  Installed packages (torch,
+    transformers, numpy, ...) import for real.  `emoji.demojize` is stubbed
+    to identity (the package is absent in this image; our textbuild gates on
+    it the same way)."""
+    import os
+    modname = modname or "ref_" + filename.replace(".", "_")
+    if modname in sys.modules:
+        return sys.modules[modname]
+    installed = {}
+    for name in _STUBBABLE:
+        if name in sys.modules:
+            continue
+        try:
+            if importlib.util.find_spec(name) is not None:
+                continue
+        except (ImportError, ModuleNotFoundError, ValueError):
+            pass
+        mod = _AnyModule(name)
+        mod.__path__ = []
+        sys.modules[name] = mod
+        installed[name] = mod
+    if "emoji" in installed:
+        installed["emoji"].demojize = \
+            lambda s, delimiters=(" ", " "): s
+    path = os.path.join(REFERENCE_DIR, filename)
+    spec = importlib.util.spec_from_file_location(
+        modname, path, submodule_search_locations=None)
+    # extension-less files (infer_auc_HoME) need an explicit source loader
+    if spec is None or spec.loader is None:
+        loader = importlib.machinery.SourceFileLoader(modname, path)
+        spec = importlib.util.spec_from_loader(modname, loader)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def tiny_tokenizer(cfg: Config) -> HashTokenizer:
