@@ -111,8 +111,13 @@ class ModelConfig:
     use_flash_attention: bool = True # Pallas fused attention on TPU
     remat: bool = False              # jax.checkpoint each encoder layer
                                      # (HBM <-> FLOPs trade, SURVEY build note)
-    remat_policy: str = "dots"       # "full" (recompute all) | "dots"
-                                     # (save MXU outputs, recompute VPU ops)
+    remat_policy: str = "attn"       # "full" (recompute all) | "dots" (save
+                                     # every dot output; too big at prod
+                                     # batch) | "attn" (save the
+                                     # post-attention residual only — skips
+                                     # the attention-kernel + out-proj
+                                     # recompute; see
+                                     # models/layers.resolve_remat_policy)
 
 
 @dataclass
@@ -169,6 +174,9 @@ class TrainConfig:
     checkpoint_dir: str = "./outputs/ckpt"
     output_dir: str = "./outputs"
     resume: bool = True              # the reference can only save (SURVEY §5)
+    checkpoint_every: int = 0        # mid-epoch ckpt every N optimizer steps
+                                     # (0 = per-epoch only); each carries the
+                                     # exact resume position
     # PRNG impl for dropout streams: "rbg" is far cheaper than threefry on
     # TPU and dropout needs no cross-impl reproducibility.
     rng_impl: str = "rbg"

@@ -91,7 +91,16 @@ def assemble_batch(samples: List[dict], packer: TextPacker,
 
 
 class BatchLoader:
-    """Background-threaded sample->batch pipeline.
+    """Background-threaded sample->batch pipeline with PARALLEL packing.
+
+    A reader thread groups decoded samples into batch-size lists and submits
+    each to a thread pool that runs the pack stage (`num_threads` workers —
+    the reference's analogue is up to 32 DataLoader worker processes,
+    ref train.py:57-62 / README.md:260).  Futures enter the queue in
+    submission order, so the emitted batch stream is DETERMINISTIC
+    regardless of thread count — required for checkpoint-resume
+    reproducibility.  The native C++ WordPiece tokenizer releases the GIL,
+    so pack workers genuinely overlap.
 
     `partial_batches=False` drops the trailing short batch (training);
     eval sets it True and pads the final batch with repeats + a `valid` mask
@@ -100,18 +109,25 @@ class BatchLoader:
 
     def __init__(self, sample_iter: Iterator[dict], batch_size: int,
                  packer: TextPacker, *, chunk_budget: Optional[int] = None,
-                 num_prefetch: int = 4, partial_batches: bool = False):
+                 num_prefetch: int = 4, partial_batches: bool = False,
+                 num_threads: int = 2):
+        import concurrent.futures as cf
         self.sample_iter = sample_iter
         self.batch_size = batch_size
         self.packer = packer
         self.chunk_budget = chunk_budget
         self.partial_batches = partial_batches
-        self._q: "queue.Queue" = queue.Queue(maxsize=num_prefetch)
+        self._pool = cf.ThreadPoolExecutor(max_workers=max(num_threads, 1),
+                                           thread_name_prefix="pack")
+        # queue holds futures; pool workers run ahead while the consumer
+        # drains in order
+        self._q: "queue.Queue" = queue.Queue(
+            maxsize=max(num_prefetch, num_threads, 1))
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread = threading.Thread(target=self._reader, daemon=True)
         self._thread.start()
 
-    def _worker(self):
+    def _reader(self):
         try:
             batch_samples: List[dict] = []
             for sample in self.sample_iter:
@@ -119,23 +135,26 @@ class BatchLoader:
                     return
                 batch_samples.append(sample)
                 if len(batch_samples) == self.batch_size:
-                    self._emit(batch_samples, None)
+                    self._submit(batch_samples, None)
                     batch_samples = []
             if batch_samples and self.partial_batches:
                 n = len(batch_samples)
                 while len(batch_samples) < self.batch_size:
                     batch_samples.append(batch_samples[n - 1])
-                self._emit(batch_samples, n)
+                self._submit(batch_samples, n)
             self._q.put(None)
-        except BaseException as e:  # surface worker errors to the consumer
+        except BaseException as e:  # surface reader errors to the consumer
             self._q.put(e)
 
-    def _emit(self, samples: List[dict], n_valid: Optional[int]):
+    def _submit(self, samples: List[dict], n_valid: Optional[int]):
+        self._q.put(self._pool.submit(self._pack, samples, n_valid))
+
+    def _pack(self, samples: List[dict], n_valid: Optional[int]):
         batch = assemble_batch(samples, self.packer, self.chunk_budget)
         valid = np.zeros(self.batch_size, bool)
         valid[:n_valid if n_valid is not None else self.batch_size] = True
         batch["valid"] = valid
-        self._q.put(batch)
+        return batch
 
     def __iter__(self):
         while True:
@@ -144,36 +163,49 @@ class BatchLoader:
                 return
             if isinstance(item, BaseException):
                 raise item
-            yield item
+            yield item.result()
 
     def close(self):
         self._stop.set()
         try:
             while True:
-                self._q.get_nowait()
+                item = self._q.get_nowait()
+                if hasattr(item, "cancel"):
+                    item.cancel()
         except queue.Empty:
             pass
+        self._pool.shutdown(wait=False, cancel_futures=True)
 
 
 def make_train_loader(shard_paths: Sequence[str], batch_size: int,
                       packer: TextPacker, *, host_index: int = 0,
                       host_count: int = 1, shuffle_buffer: int = 512,
                       seed: int = 0, chunk_budget: Optional[int] = None,
-                      num_prefetch: int = 4) -> BatchLoader:
+                      num_prefetch: int = 4, num_threads: int = 2,
+                      skip_batches: int = 0) -> BatchLoader:
+    """`skip_batches`: deterministic resume fast-forward — the decoded
+    sample stream is a pure function of (paths, seed), so skipping
+    skip_batches * batch_size samples reproduces the loader position of a
+    checkpointed run without re-packing the skipped batches."""
     paths = split_shards(shard_paths, host_index, host_count)
     it = iter_decoded(paths, shuffle=True, shuffle_buffer=shuffle_buffer,
                       repeat=True, seed=seed)
+    if skip_batches:
+        import itertools
+        it = itertools.islice(it, skip_batches * batch_size, None)
     return BatchLoader(it, batch_size, packer, chunk_budget=chunk_budget,
-                       num_prefetch=num_prefetch)
+                       num_prefetch=num_prefetch, num_threads=num_threads)
 
 
 def make_eval_loader(shard_paths: Sequence[str], batch_size: int,
                      packer: TextPacker, *,
                      chunk_budget: Optional[int] = None,
-                     num_prefetch: int = 4) -> BatchLoader:
+                     num_prefetch: int = 4,
+                     num_threads: int = 2) -> BatchLoader:
     it = iter_decoded(sorted(shard_paths), shuffle=False, repeat=False)
     return BatchLoader(it, batch_size, packer, chunk_budget=chunk_budget,
-                       num_prefetch=num_prefetch, partial_batches=True)
+                       num_prefetch=num_prefetch, partial_batches=True,
+                       num_threads=num_threads)
 
 
 def device_prefetch(batch_iter, n: int = 2, sharding=None):

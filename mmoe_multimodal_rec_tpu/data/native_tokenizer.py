@@ -44,6 +44,15 @@ class NativeWordPieceTokenizer:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
+        self._lib.wp_pack_batch.restype = ctypes.c_int32
+        self._lib.wp_pack_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
 
         # special ids from the vocab via the python reference loader
         ref = WordPieceTokenizer.from_vocab_file(vocab_path,
@@ -99,6 +108,40 @@ class NativeWordPieceTokenizer:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return [out[i, :lens[i]].tolist() for i in range(len(blobs))]
+
+    def pack_batch(self, sents_per_text, *, max_tok: int,
+                   max_chunks_per_sample: int, fixed_sent_count: int,
+                   budget: int):
+        """The ENTIRE pack stage (sentence encode + greedy chunk packing,
+        data/packer.py semantics) in one GIL-released native call — the
+        BatchLoader's pack threads scale with cores this way.
+
+        sents_per_text: per text, its pre-split sentence list.
+        Returns (tokens [budget, max_tok], sent_chunk [B, S],
+        sent_tok [B, S], n_chunks).
+        """
+        counts = np.asarray([len(s) for s in sents_per_text], np.int32)
+        flat = [s.encode("utf-8") for sents in sents_per_text for s in sents]
+        offsets = np.zeros(max(len(flat), 1), np.int64)
+        buf = bytearray()
+        pos = 0
+        for i, blob in enumerate(flat):
+            offsets[i] = pos
+            buf += blob + b"\x00"
+            pos += len(blob) + 1
+        b = len(sents_per_text)
+        tokens = np.empty((budget, max_tok), np.int32)
+        sent_chunk = np.empty((b, fixed_sent_count), np.int32)
+        sent_tok = np.empty((b, fixed_sent_count), np.int32)
+        as_i32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        n_chunks = self._lib.wp_pack_batch(
+            self._handle, bytes(buf),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            as_i32(counts), b, max_tok, max_chunks_per_sample,
+            fixed_sent_count, budget, self.cls_id, self.sep_id, self.pad_id,
+            self.sent_id, self.vocab_size, as_i32(tokens), as_i32(sent_chunk),
+            as_i32(sent_tok))
+        return tokens, sent_chunk, sent_tok, int(n_chunks)
 
 
 def load_best_tokenizer(vocab_path: Optional[str],

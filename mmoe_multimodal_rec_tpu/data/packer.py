@@ -58,13 +58,43 @@ class TextPacker:
             len(texts) * cfg.max_chunks_per_sample
         S = cfg.fixed_sent_count
 
+        sents_per_text = [self.split(text) for text in texts]
+
+        # Fast path: the native tokenizer runs the ENTIRE pack stage (encode
+        # + greedy chunk packing) in one GIL-released C++ call — identical
+        # outputs to the Python loop below (cross-checked in
+        # tests/test_native_tokenizer.py), but loader pack threads scale
+        # with cores.
+        if hasattr(tok, "pack_batch"):
+            tokens, sent_chunk, sent_tok, n_chunks = tok.pack_batch(
+                sents_per_text, max_tok=max_tok,
+                max_chunks_per_sample=cfg.max_chunks_per_sample,
+                fixed_sent_count=S, budget=budget)
+            return PackedBatch(tokens=tokens, sent_chunk=sent_chunk,
+                               sent_tok=sent_tok, n_chunks=n_chunks)
+
         tokens = np.full((budget, max_tok), tok.pad_id, np.int32)
         sent_chunk = np.full((len(texts), S), -1, np.int32)
         sent_tok = np.full((len(texts), S), -1, np.int32)
 
+        # Encode EVERY sentence of the batch in one tokenizer call when the
+        # backend supports it: the native C++ encode_batch releases the GIL
+        # for the whole batch, so BatchLoader pack threads genuinely overlap
+        # (the per-sentence path holds the GIL between tiny encode calls).
+        # Semantics identical: same per-sentence truncation; sentences the
+        # packing loop would skip (chunk cap reached) are encoded in vain,
+        # which has no observable effect.
+        if hasattr(tok, "encode_batch"):
+            flat = [s for sents in sents_per_text for s in sents]
+            encoded = tok.encode_batch(flat, max_length=pad_limit - 1)
+        else:
+            encoded = [tok.encode(s, max_length=pad_limit - 1)
+                       for sents in sents_per_text for s in sents]
+        enc_pos = 0
+
         chunk_row = 0
         for si, text in enumerate(texts):
-            sents = self.split(text)
+            sents = sents_per_text[si]
             cur: List[int] = []
             sent_pos: List[int] = []
             chunk_count = 0
@@ -90,10 +120,10 @@ class TextPacker:
                 chunk_row += 1
                 return True
 
-            for sent in sents:
+            for sj, sent in enumerate(sents):
                 if chunk_count >= cfg.max_chunks_per_sample:
                     break
-                base_ids = tok.encode(sent, max_length=pad_limit - 1)
+                base_ids = encoded[enc_pos + sj]
                 ids = [tok.sent_id] + base_ids
                 if len(cur) + len(ids) > pad_limit:
                     emit(cur, sent_pos)
@@ -104,6 +134,7 @@ class TextPacker:
                     cur.extend(ids)
             if chunk_count < cfg.max_chunks_per_sample and cur:
                 emit(cur, sent_pos)
+            enc_pos += len(sents)
 
         return PackedBatch(tokens=tokens, sent_chunk=sent_chunk,
                            sent_tok=sent_tok, n_chunks=chunk_row)

@@ -300,4 +300,97 @@ int32_t wp_encode_batch(void* handle, const char* buffer,
   return 0;
 }
 
+// The whole pack stage (data/packer.py TextPacker.pack) in one GIL-released
+// call: encode every pre-split sentence and greedy-pack into static-shape
+// [budget, max_tok] token rows + [n_texts, S] sentence routing tensors.
+// Packing semantics are byte-identical to the Python packer (which mirrors
+// reference model.py:29-117, including its quirks): per-sentence truncation
+// to max_tok-3, <SENT> marker prepended, flush-on-overflow with
+// silent-drop at the chunk cap, OOV clamp to pad (incl. the <SENT> id
+// itself), +1 position shift for [CLS].  tests/test_native_tokenizer.py
+// cross-checks this against the Python path on randomized corpora.
+//
+// sentences: NUL-separated blob; offsets[k] -> sentence k;
+// sents_per_text[i] = how many consecutive sentences belong to text i.
+// tokens: [budget, max_tok] (filled with pad_id); sent_chunk / sent_tok:
+// [n_texts, S] (filled with -1).  Returns the number of chunks written.
+int32_t wp_pack_batch(void* handle, const char* buffer,
+                      const int64_t* offsets, const int32_t* sents_per_text,
+                      int32_t n_texts, int32_t max_tok,
+                      int32_t max_chunks_per_sample, int32_t s_cap,
+                      int32_t budget, int32_t cls_id, int32_t sep_id,
+                      int32_t pad_id, int32_t sent_id, int32_t vocab_size,
+                      int32_t* tokens, int32_t* sent_chunk,
+                      int32_t* sent_tok) {
+  const int32_t pad_limit = max_tok - 2;
+  const int32_t sent_max = pad_limit - 1;  // per-sentence truncation
+  for (int64_t i = 0; i < static_cast<int64_t>(budget) * max_tok; ++i)
+    tokens[i] = pad_id;
+  for (int64_t i = 0; i < static_cast<int64_t>(n_texts) * s_cap; ++i) {
+    sent_chunk[i] = -1;
+    sent_tok[i] = -1;
+  }
+
+  int32_t chunk_row = 0;
+  int64_t sent_idx = 0;
+  std::vector<int32_t> ids, cur;
+  std::vector<int32_t> positions;
+  for (int32_t ti = 0; ti < n_texts; ++ti) {
+    cur.clear();
+    positions.clear();
+    int32_t chunk_count = 0;
+    int32_t n_sents = 0;
+
+    auto emit = [&]() {
+      if (chunk_row >= budget) return;
+      int32_t* row = tokens + static_cast<int64_t>(chunk_row) * max_tok;
+      int32_t len = 0;
+      auto put = [&](int32_t id) {
+        // OOV clamp incl. <SENT> (ref model.py:101-109)
+        row[len++] = (id >= vocab_size) ? pad_id : id;
+      };
+      put(cls_id);
+      for (int32_t id : cur) put(id);
+      put(sep_id);
+      for (int32_t p : positions) {
+        if (n_sents >= s_cap) break;
+        sent_chunk[static_cast<int64_t>(ti) * s_cap + n_sents] = chunk_row;
+        sent_tok[static_cast<int64_t>(ti) * s_cap + n_sents] = p + 1;
+        ++n_sents;
+      }
+      ++chunk_row;
+    };
+
+    const int32_t n = sents_per_text[ti];
+    for (int32_t sj = 0; sj < n; ++sj, ++sent_idx) {
+      if (chunk_count >= max_chunks_per_sample) continue;  // python `break`
+      ids.clear();
+      ids.push_back(sent_id);
+      {
+        const Tokenizer& tok = *static_cast<Tokenizer*>(handle);
+        std::vector<std::string> words;
+        basic_tokenize(tok, buffer + offsets[sent_idx], &words);
+        for (const auto& w : words) {
+          wordpiece_word(tok, w, &ids);
+          if (static_cast<int32_t>(ids.size()) - 1 >= sent_max) break;
+        }
+        if (static_cast<int32_t>(ids.size()) - 1 > sent_max)
+          ids.resize(sent_max + 1);
+      }
+      if (static_cast<int32_t>(cur.size() + ids.size()) > pad_limit) {
+        emit();
+        ++chunk_count;
+        cur.assign(ids.begin(), ids.end());
+        positions.assign(1, 0);
+      } else {
+        positions.push_back(static_cast<int32_t>(cur.size()));
+        cur.insert(cur.end(), ids.begin(), ids.end());
+      }
+    }
+    // advance past skipped sentences of this text
+    if (chunk_count < max_chunks_per_sample && !cur.empty()) emit();
+  }
+  return chunk_row;
+}
+
 }  // extern "C"

@@ -2,9 +2,14 @@
 
 The reference can only *save* (torch.save per epoch, train.py:351-363); its
 trainers have no restore path at all (SURVEY §5).  Here the full training
-state — trainable + frozen params, BN stats, optimizer state, step counter,
-data-loader position, RNG key — round-trips through orbax, so a preempted run
-continues exactly where it stopped (the TPU-pod failure-recovery story).
+state — trainable + frozen params, BN stats, optimizer state, step counter —
+round-trips through orbax, and the `extra` dict carries the exact resume
+position {epoch, opt_step_in_epoch, host_step}.  The dropout RNG needs no
+saved state: each step's key is fold_in(base_key, host_step) (train/loop.py),
+and the loader position is reproduced by fast-forwarding the deterministic
+sample stream host_step*accum batches (data/loader.make_train_loader
+skip_batches) — so a preempted run's metric stream is bit-identical to an
+unbroken one (tested in tests/test_train.py).
 """
 from __future__ import annotations
 

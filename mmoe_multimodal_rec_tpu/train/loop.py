@@ -4,12 +4,19 @@ mesh, and drives the epoch loop with logging, checkpointing and resume.
 Replaces train.py:77-424 / train_HoME.py:118-536.  Key structural changes:
 - ONE jit step per optimizer update (scan-accumulated micro-batches) instead
   of `accum` python iterations with DDP no_sync bookkeeping;
-- host tokenization runs in loader threads, overlapped with device compute;
+- host tokenization runs in parallel loader threads, overlapped with device
+  compute; `device_prefetch` keeps batches device-resident ahead of time;
+- the step loop never blocks on the device: metrics are fetched in bulk
+  every `log_every` steps, so step N+1 dispatches while N executes (the
+  reference synchronizes every step to print, train.py:307-310);
+- per-step dropout RNG = fold_in(base_key, host_step) — a pure function of
+  the step index, so resume needs no RNG state, only the counter;
 - params/opt-state live sharded on the mesh (replicated under pure DP,
-  TP-sharded when model_parallel > 1); batches are placed with a data-axis
-  sharding before each step;
+  TP-sharded when model_parallel > 1);
 - per-epoch checkpoints + loss curves (reference artifact parity) PLUS
-  mid-epoch orbax checkpoints with full resume.
+  mid-epoch orbax checkpoints (train.checkpoint_every) carrying the exact
+  resume position {epoch, opt_step_in_epoch, host_step}; the deterministic
+  loader fast-forwards by host_step*accum batches on restore.
 """
 from __future__ import annotations
 
@@ -21,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..data.loader import make_train_loader
+from ..data.loader import device_prefetch, make_train_loader
 from ..data.packer import TextPacker
 from ..data.native_tokenizer import load_best_tokenizer as load_tokenizer
 from ..models.mmoe import MMoERecModel
@@ -103,12 +110,21 @@ class Trainer:
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
         self._dropout_rng = jax.random.key(cfg.train.seed + 1,
                                            impl=cfg.train.rng_impl)
+        # host-side optimizer-step counter: drives the per-step dropout
+        # stream (fold_in) and the resume position; unlike state.step it
+        # also counts NaN-skipped steps, so the RNG/data streams of a
+        # resumed run line up even across skips
+        self.host_step = 0
 
     # ------------------------------------------------------------------
-    def run_step(self, stacked_batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        batch = jax.device_put(stacked_batch, self._batch_sharding)
-        self._dropout_rng, sub = jax.random.split(self._dropout_rng)
-        self.state, metrics = self.train_step(self.state, batch, sub)
+    def run_step(self, stacked_batch, *, device_resident: bool = False
+                 ) -> Dict[str, Any]:
+        if not device_resident:
+            stacked_batch = jax.device_put(stacked_batch,
+                                           self._batch_sharding)
+        sub = jax.random.fold_in(self._dropout_rng, self.host_step)
+        self.host_step += 1
+        self.state, metrics = self.train_step(self.state, stacked_batch, sub)
         return metrics
 
     def fit(self, loader_iter: Iterator[Dict[str, np.ndarray]],
@@ -116,7 +132,7 @@ class Trainer:
             steps_per_epoch: Optional[int] = None,
             logger: Optional[MetricsLogger] = None,
             ckpt: Optional[CheckpointManager] = None,
-            start_epoch: int = 0) -> Dict[str, Any]:
+            start_epoch: int = 0, start_opt_step: int = 0) -> Dict[str, Any]:
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.train.epochs
         accum = cfg.train.optim.grad_accum
@@ -132,12 +148,41 @@ class Trainer:
         epoch_losses = {"total": [], "main": [], "contrastive": []}
         global_examples = accum * cfg.train.batch_size
 
+        # host->device pipeline: stack micro-batches and stage them on the
+        # mesh `num_prefetch` steps ahead of the compute stream
+        it = iter(loader_iter)
+
+        def stacked_iter():
+            while True:
+                yield stack_micro_batches([next(it) for _ in range(accum)])
+
+        staged = device_prefetch(stacked_iter(), n=cfg.data.num_prefetch,
+                                 sharding=self._batch_sharding)
+
+        ep_state = {"main": 0.0, "cl": 0.0, "n": 0}
+        pending = []  # [(opt_step_idx, device-metrics dict)]
+
+        def flush():
+            if not pending:
+                return None
+            fetched = jax.device_get([m for _, m in pending])
+            for (sidx, _), m in zip(pending, fetched):
+                history["step"].append(sidx)
+                for k in ("loss", "main_loss", "contrastive_loss"):
+                    history[k].append(float(m[k]))
+                ep_state["main"] += float(m["main_loss"])
+                ep_state["cl"] += float(m["contrastive_loss"])
+                ep_state["n"] += 1
+            last = fetched[-1]
+            pending.clear()
+            return last
+
         profiling = False
         total_opt_steps = 0
-        it = iter(loader_iter)
         for epoch in range(start_epoch, epochs):
-            ep_main, ep_cl, n = 0.0, 0.0, 0
-            for _ in range(opt_steps):
+            ep_state.update(main=0.0, cl=0.0, n=0)
+            first = start_opt_step if epoch == start_epoch else 0
+            for opt_step in range(first, opt_steps):
                 if cfg.train.profile:
                     if total_opt_steps == cfg.train.profile_start:
                         jax.profiler.start_trace(cfg.train.profile_dir)
@@ -148,27 +193,29 @@ class Trainer:
                         jax.profiler.stop_trace()
                         profiling = False
                 total_opt_steps += 1
-                micro = [next(it) for _ in range(accum)]
-                stacked = stack_micro_batches(micro)
-                metrics = self.run_step(stacked)
+                metrics = self.run_step(next(staged), device_resident=True)
                 meter.update(global_examples)
-                step = int(self.state.step)
-                ep_main += float(metrics["main_loss"])
-                ep_cl += float(metrics["contrastive_loss"])
-                n += 1
-                if n % cfg.train.log_every == 0:
-                    logger.log({"epoch": epoch, "step": step,
-                                "examples_per_sec": meter.rate(), **metrics})
-                history["step"].append(step)
-                for k in ("loss", "main_loss", "contrastive_loss"):
-                    history[k].append(float(metrics[k]))
-            epoch_losses["main"].append(ep_main / max(n, 1))
-            epoch_losses["contrastive"].append(ep_cl / max(n, 1))
-            epoch_losses["total"].append((ep_main + ep_cl) / max(n, 1))
+                pending.append((self.host_step, metrics))
+                if len(pending) >= cfg.train.log_every:
+                    last = flush()   # the only device sync in the loop
+                    logger.log({"epoch": epoch, "step": self.host_step,
+                                "examples_per_sec": meter.rate(),
+                                **{k: float(v) for k, v in last.items()}})
+                if cfg.train.checkpoint_every and ckpt is not None and \
+                        (opt_step + 1) % cfg.train.checkpoint_every == 0:
+                    flush()
+                    ckpt.save(self.host_step, self.state,
+                              extra=self._resume_extra(epoch, opt_step + 1))
+            flush()
+            n = max(ep_state["n"], 1)
+            epoch_losses["main"].append(ep_state["main"] / n)
+            epoch_losses["contrastive"].append(ep_state["cl"] / n)
+            epoch_losses["total"].append(
+                (ep_state["main"] + ep_state["cl"]) / n)
             logger.log({"epoch": epoch, "epoch_loss": epoch_losses["total"][-1]})
             if ckpt is not None:
-                ckpt.save(int(self.state.step), self.state,
-                          extra={"epoch": epoch + 1})
+                ckpt.save(self.host_step, self.state,
+                          extra=self._resume_extra(epoch + 1, 0))
         if profiling:
             jax.block_until_ready(self.state.step)
             jax.profiler.stop_trace()
@@ -183,6 +230,10 @@ class Trainer:
         return {"history": history, "epoch_losses": epoch_losses,
                 "examples_per_sec": meter.rate()}
 
+    def _resume_extra(self, epoch: int, opt_step_in_epoch: int) -> Dict:
+        return {"epoch": epoch, "opt_step_in_epoch": opt_step_in_epoch,
+                "host_step": self.host_step}
+
 
 def train_from_config(cfg: Config) -> Dict[str, Any]:
     """End-to-end CLI entry: shards -> loader -> Trainer.fit with resume."""
@@ -193,25 +244,33 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
             f"no shards match {cfg.data.train_pattern!r}")
     tokenizer = load_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size)
     packer = TextPacker(tokenizer, cfg.model.packer)
+    trainer = Trainer(cfg)
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+    start_epoch, start_opt_step = 0, 0
+    if cfg.train.resume:
+        restored, extra = ckpt.restore(trainer.state)
+        if restored is not None:
+            # host arrays assigned directly: the compiled step re-places
+            # them per its input shardings on first use
+            trainer.state = restored
+            extra = extra or {}
+            start_epoch = int(extra.get("epoch", 0))
+            start_opt_step = int(extra.get("opt_step_in_epoch", 0))
+            trainer.host_step = int(extra.get("host_step", 0))
+            print(f"[resume] restored step={int(trainer.state.step)} "
+                  f"epoch={start_epoch} opt_step={start_opt_step} "
+                  f"host_step={trainer.host_step}", flush=True)
     loader = make_train_loader(
         shards, cfg.train.batch_size, packer,
         host_index=jax.process_index(), host_count=jax.process_count(),
         shuffle_buffer=cfg.data.shuffle_buffer, seed=cfg.train.seed,
         chunk_budget=cfg.model.packer.chunk_budget,
-        num_prefetch=cfg.data.num_prefetch)
-    trainer = Trainer(cfg)
-    ckpt = CheckpointManager(cfg.train.checkpoint_dir)
-    start_epoch = 0
-    if cfg.train.resume:
-        restored, extra = ckpt.restore(trainer.state)
-        if restored is not None:
-            shardings = jax.tree.map(lambda x: x.sharding, trainer.state)
-            trainer.state = jax.device_put(restored, shardings)
-            start_epoch = int((extra or {}).get("epoch", 0))
-            print(f"[resume] restored step={int(trainer.state.step)} "
-                  f"epoch={start_epoch}", flush=True)
+        num_prefetch=cfg.data.num_prefetch,
+        num_threads=cfg.data.num_tokenizer_threads,
+        skip_batches=trainer.host_step * cfg.train.optim.grad_accum)
     try:
-        return trainer.fit(iter(loader), ckpt=ckpt, start_epoch=start_epoch)
+        return trainer.fit(iter(loader), ckpt=ckpt, start_epoch=start_epoch,
+                           start_opt_step=start_opt_step)
     finally:
         loader.close()
         ckpt.close()

@@ -85,3 +85,49 @@ def test_native_is_faster_than_python(tmp_path, so_path):
     t_nat = time.perf_counter() - t0
     # comfortably faster; assert a conservative 3x to stay robust in CI
     assert t_nat * 3 < t_py, (t_nat, t_py)
+
+
+def test_native_pack_batch_matches_python_packer(tmp_path):
+    """The C++ wp_pack_batch must reproduce the Python TextPacker's outputs
+    (which are themselves golden-tested against reference preprocess_batch)
+    bit-for-bit, including the quirks: flush-drop at the chunk cap, OOV/
+    <SENT> clamp, +1 position shift, global budget exhaustion."""
+    from mmoe_multimodal_rec_tpu.native import build_native
+    if build_native() is None:
+        pytest.skip("no g++")
+    import numpy as np
+    from mmoe_multimodal_rec_tpu.config import PackerConfig
+    from mmoe_multimodal_rec_tpu.data.native_tokenizer import \
+        NativeWordPieceTokenizer
+    from mmoe_multimodal_rec_tpu.data.packer import TextPacker
+    from mmoe_multimodal_rec_tpu.data.sentence import split_sentences
+    from mmoe_multimodal_rec_tpu.data.synthetic import random_text
+    from mmoe_multimodal_rec_tpu.data.wordpiece import WordPieceTokenizer
+
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] +
+             list("abcdefghijklmnopqrstuvwxyz") +
+             [f"##{c}" for c in "abcdefghijklmnopqrstuvwxyz"] +
+             [w for w in ("great quality bike helmet tent sleeping bag "
+                          "running shoes light compact durable waterproof "
+                          "##s ##ed ##ing . , ! ?").split()])
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab) + "\n")
+    native = NativeWordPieceTokenizer(str(vp))
+    pyref = WordPieceTokenizer.from_vocab_file(str(vp))
+
+    # tight caps so every quirk path triggers: tiny chunks force flushes and
+    # drops; tiny budget exercises global exhaustion; tiny S truncates routing
+    for cfg in (PackerConfig(),
+                PackerConfig(max_tok=16, max_chunks_per_sample=2,
+                             fixed_sent_count=4)):
+        rng = np.random.default_rng(42)
+        texts = [random_text(rng, 1, 12) for _ in range(24)] + ["", "a."]
+        for budget in (None, 8):
+            fast = TextPacker(native, cfg, splitter=split_sentences)
+            slow = TextPacker(pyref, cfg, splitter=split_sentences)
+            a = fast.pack(texts, budget)
+            b = slow.pack(texts, budget)
+            assert a.n_chunks == b.n_chunks
+            np.testing.assert_array_equal(a.tokens, b.tokens)
+            np.testing.assert_array_equal(a.sent_chunk, b.sent_chunk)
+            np.testing.assert_array_equal(a.sent_tok, b.sent_tok)

@@ -171,3 +171,68 @@ def test_checkpoint_roundtrip(tmp_path):
     m = trainer2.run_step(stacked_batch(cfg, seed=5))
     assert np.isfinite(float(m["loss"]))
     mngr.close()
+
+
+def test_resume_reproduces_unbroken_run(tmp_path):
+    """True resume (VERDICT #4): train 6 steps in one go vs train 3,
+    checkpoint, restore into a FRESH trainer, train 3 more on the same
+    batch stream — the metric streams must be identical (same params, same
+    fold_in(host_step) dropout streams, same data)."""
+    cfg = tiny_config("baseline")
+    batches = [stacked_batch(cfg, seed=s) for s in range(6)]
+
+    t1 = Trainer(cfg)
+    unbroken = [t1.run_step(b) for b in batches]
+    unbroken = [{k: float(v) for k, v in m.items()} for m in unbroken]
+
+    t2 = Trainer(cfg)
+    first = [t2.run_step(b) for b in batches[:3]]
+    first = [{k: float(v) for k, v in m.items()} for m in first]
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(t2.host_step, t2.state,
+              extra={"epoch": 0, "opt_step_in_epoch": 3,
+                     "host_step": t2.host_step}, wait=True)
+
+    t3 = Trainer(cfg)
+    restored, extra = mngr.restore(t3.state)
+    # assign host arrays directly: the compiled step places them per its
+    # input shardings (explicit device_put would need per-leaf opt-state
+    # shardings)
+    t3.state = restored
+    t3.host_step = int(extra["host_step"])
+    assert t3.host_step == 3
+    second = [t3.run_step(b) for b in batches[3:]]
+    second = [{k: float(v) for k, v in m.items()} for m in second]
+    mngr.close()
+
+    resumed = first + second
+    for a, b in zip(unbroken, resumed):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, err_msg=k)
+
+
+def test_loader_skip_batches_matches_unbroken_stream(tmp_path):
+    """The loader's deterministic fast-forward: skipping N batches yields
+    the same stream as consuming N batches of a fresh loader."""
+    from mmoe_multimodal_rec_tpu.data.loader import make_train_loader
+    from mmoe_multimodal_rec_tpu.data.packer import TextPacker
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+    from util import tiny_tokenizer
+
+    cfg = tiny_config("baseline")
+    paths = write_synthetic_shards(str(tmp_path), n_samples=80,
+                                   samples_per_shard=40, seed=7)
+    packer = TextPacker(tiny_tokenizer(cfg), cfg.model.packer)
+    full = make_train_loader(paths, 4, packer, seed=3, shuffle_buffer=8,
+                             num_threads=2)
+    it = iter(full)
+    want = None
+    for _ in range(7):
+        want = next(it)
+    full.close()
+    skipped = make_train_loader(paths, 4, packer, seed=3, shuffle_buffer=8,
+                                num_threads=2, skip_batches=6)
+    got = next(iter(skipped))
+    skipped.close()
+    for k in want:
+        np.testing.assert_array_equal(want[k], got[k], err_msg=k)
