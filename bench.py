@@ -44,8 +44,8 @@ def main():
     ap.add_argument("--mode", type=str, default="train",
                     choices=["train", "infer"])
     ap.add_argument("--platform", type=str, default=None)
-    ap.add_argument("--remat-policy", type=str, default="full",
-                    choices=["full", "dots"])
+    ap.add_argument("--remat-policy", type=str, default="attn",
+                    choices=["full", "dots", "attn"])
     args = ap.parse_args()
 
     if args.platform:

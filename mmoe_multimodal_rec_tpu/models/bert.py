@@ -17,8 +17,11 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..config import TextEncoderConfig
-from .layers import Attention, Array, Mlp, HashDropout
+from .layers import (Attention, Array, HashDropout, Mlp,
+                     resolve_remat_policy)
 
 
 class BertLayer(nn.Module):
@@ -40,9 +43,11 @@ class BertLayer(nn.Module):
                       name="attention")(x, x, x, pad_mask,
                                         deterministic=deterministic)
         h = HashDropout(cfg.hidden_dropout)(h, deterministic=deterministic)
-        # Post-LN residual (BERT style).
+        # Post-LN residual (BERT style).  The residual is checkpoint-named so
+        # the "attn" remat policy can save it (see resolve_remat_policy).
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                         name="attention_norm")(x + h.astype(x.dtype))
+                         name="attention_norm")(
+            checkpoint_name(x + h.astype(x.dtype), "attn_res"))
         h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=nn.gelu,
                 dropout=0.0, out_dropout=cfg.hidden_dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
@@ -88,17 +93,12 @@ class BertEncoder(nn.Module):
         x = HashDropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         x = x.astype(self.dtype)
         # jax.checkpoint per layer trades recompute for HBM when training
-        # full-size encoders (static_argnums: self, deterministic).
-        # policy "dots": keep matmul outputs in HBM, recompute only the
-        # cheap VPU ops — most of the memory saving at a fraction of the
-        # recompute cost of full remat.
+        # full-size encoders; see resolve_remat_policy for the policies.
         layer_cls = BertLayer
         if self.remat:
-            import jax
-            policy = (None if self.remat_policy == "full" else
-                      jax.checkpoint_policies.dots_saveable)
             layer_cls = nn.remat(BertLayer, static_argnums=(3,),
-                                 policy=policy)
+                                 policy=resolve_remat_policy(
+                                     self.remat_policy))
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash,

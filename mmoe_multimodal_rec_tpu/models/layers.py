@@ -28,6 +28,28 @@ Array = jax.Array
 NEG_INF = -1e9  # finite mask value: keeps bf16 softmax NaN-free on all-pad rows
 
 
+def resolve_remat_policy(name: str):
+    """Remat policies for the encoder layers (jax.checkpoint):
+    - "full": save nothing, recompute the whole layer in backward (max HBM
+      savings, ~2x forward matmul cost);
+    - "dots": save every dot output (minimal recompute, but the fc1 output
+      alone is [N, L, 4D] per layer — does not fit HBM at production batch);
+    - "attn": save ONLY the post-attention residual (checkpoint_name
+      "attn_res", [N, L, D] bf16 per layer).  With the base encoder weights
+      frozen (LoRA training), backward needs no dw activations, so this one
+      save eliminates the recompute of the attention kernel and the out
+      projection — the only recompute left is q/k/v + fc1/fc2, ~35% of a
+      full-remat backward's recompute FLOPs at ~1/24 of "dots" memory.
+    """
+    if name == "full":
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    if name == "attn":
+        return jax.checkpoint_policies.save_only_these_names("attn_res")
+    raise ValueError(f"unknown remat policy {name!r}")
+
+
 def big_neg(dtype) -> float:
     return NEG_INF
 

@@ -16,8 +16,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..config import ImageEncoderConfig
-from .layers import Array, Attention, Mlp, HashDropout
+from .layers import (Array, Attention, HashDropout, Mlp,
+                     resolve_remat_policy)
 
 
 class ViTLayer(nn.Module):
@@ -38,7 +41,8 @@ class ViTLayer(nn.Module):
                                         h.astype(self.dtype), None,
                                         deterministic=deterministic)
         h = HashDropout(cfg.hidden_dropout)(h, deterministic=deterministic)
-        x = x + h.astype(x.dtype)
+        # named for the "attn" remat policy (see resolve_remat_policy)
+        x = checkpoint_name(x + h.astype(x.dtype), "attn_res")
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm2")(x)
         h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=nn.gelu,
@@ -81,11 +85,9 @@ class ViTEncoder(nn.Module):
         x = HashDropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         layer_cls = ViTLayer
         if self.remat:
-            import jax
-            policy = (None if self.remat_policy == "full" else
-                      jax.checkpoint_policies.dots_saveable)
             layer_cls = nn.remat(ViTLayer, static_argnums=(2,),
-                                 policy=policy)
+                                 policy=resolve_remat_policy(
+                                     self.remat_policy))
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash,

@@ -14,11 +14,26 @@ QK^T -> mask -> softmax -> (dropout) -> PV per head in VMEM; matmuls run in
 the input dtype (bf16 in training) with fp32 accumulation; only softmax is
 fp32.  The [L, L] probability matrix never reaches HBM.
 
-Attention-weight dropout (torch MultiheadAttention semantics, used by every
-reference attention module) uses a counter-based murmur-finalizer hash over
-(seed, batch, head, position): backend-independent, so the Pallas forward,
-the Pallas backward (which regenerates the same keep mask instead of storing
-[B,H,L,L] in HBM) and the jnp test reference all see the identical stream.
+These kernels are VPU-bound (the [L, L] fp32 softmax tiles dominate; the
+MXU dots are ~20% of runtime), so the design minimizes per-element VPU work:
+- softmax uses exp(clip(s, ±80)) with NO max-subtraction pass: padded keys
+  carry a -1e9 additive bias so clip keeps them at exp(-80) ≈ 1.8e-35
+  (vanishing but nonzero — all-masked rows degrade to uniform weights
+  instead of NaN, same as the max-shifted form), and |real scores| stay far
+  below 80 for LayerNormed inputs while exp(80)*L < fp32 max rules out
+  overflow;
+- the key-pad mask becomes one additive bias vector per program instead of a
+  compare+select per score element;
+- attention-weight dropout (torch MultiheadAttention semantics, used by
+  every reference attention module) draws its keep mask from the TPU
+  hardware PRNG (`pltpu.prng_seed` / `prng_random_bits`, ~1 VPU op/element)
+  seeded per (seed, batch, head).  The backward kernel reseeds the same
+  stream and regenerates the identical mask instead of storing [B,H,L,L]
+  in HBM.  In interpret mode (CPU tests) the hardware PRNG is unavailable,
+  so both kernels fall back to a counter-based murmur-finalizer hash over
+  the same (seed, batch, head, position) key — backend-independent and
+  replicated by the jnp test reference.  `dropout_keep_mask` dumps either
+  stream so tests can compare against einsum attention given the SAME mask.
 
 Padded keys are masked via an int8 [B, L] pad mask (1 = pad), the torch
 `key_padding_mask` convention used throughout the reference.
@@ -35,12 +50,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+# exp-clip bound: unnormalized exp(s) flows into bf16 dots, so the bound must
+# keep 384*exp(60)*|v| < fp32 max (1.3e29, safe) while exp(-60) ~ 8.8e-27
+# stays a normal bf16 (all-pad rows degrade to uniform weights, not NaN).
+# LayerNormed scores are |s| < ~30, far inside the clip.
+_CLIP = 60.0
 _LANE = 128
 
 
 def _hash_bits(seed, base, shape):
     """Counter-based 32-bit hash (murmur3-finalizer style) over a unique
-    per-element index; identical on every backend."""
+    per-element index; identical on every backend (interpret-mode path)."""
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = (base.astype(jnp.uint32) + rows * jnp.uint32(shape[1]) + cols)
@@ -53,15 +73,42 @@ def _hash_bits(seed, base, shape):
     return x
 
 
-def _keep_mask(seed, base, shape, rate: float):
-    threshold = jnp.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
-    return _hash_bits(seed, base, shape) >= threshold
+def _threshold(rate: float):
+    return jnp.uint32(min(max(rate, 0.0), 1.0) * 4294967295.0)
 
 
-def _softmax_fp32(scores):
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+def _keep_mask(seed, bi, h_abs, n_heads: int, rows: int, shape, rate: float,
+               use_prng: bool):
+    """Keep mask for one (batch, head): rows x shape[1].  `shape` may have
+    more rows than `rows` (padded q blocks); the generated stream always
+    covers exactly (rows, shape[1]) so forward/backward agree, padded rows
+    are filled with keep=True (their cotangents are zero).
+
+    use_prng=True -> TPU hardware PRNG seeded (seed, bi, h_abs);
+    use_prng=False -> portable murmur hash (interpret mode / jnp reference).
+    """
+    gen_shape = (rows, shape[1])
+    if use_prng:
+        # Mosaic caps prng_seed at 2 values: fold (batch, head) into one
+        pltpu.prng_seed(seed, bi * n_heads + h_abs)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(gen_shape), jnp.uint32)
+    else:
+        base = ((bi * n_heads + h_abs) * rows * shape[1]).astype(jnp.uint32)
+        bits = _hash_bits(seed, base, gen_shape)
+    keep = bits >= _threshold(rate)
+    if gen_shape != tuple(shape):
+        keep = jnp.pad(keep, ((0, shape[0] - rows), (0, 0)),
+                       constant_values=True)
+    return keep
+
+
+def _softmax_parts(scores):
+    """Unnormalized softmax: exp(clip(s)) and the per-row reciprocal sum.
+    Callers fold `rinv` in where it is cheapest (a [rows, 1]-broadcast
+    multiply, or the [rows, dh] output epilogue) instead of paying a
+    per-element divide over the [rows, Lk] tile."""
+    p = jnp.exp(jnp.clip(scores, -_CLIP, _CLIP))
+    return p, 1.0 / jnp.sum(p, axis=-1, keepdims=True)
 
 
 def _head_group(dh: int, n_heads: int, max_heads: int) -> int:
@@ -79,11 +126,13 @@ def _head_group(dh: int, n_heads: int, max_heads: int) -> int:
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
                 scale: float, dropout_rate: float, dh: int, hb: int,
-                n_heads: int):
+                n_heads: int, use_prng: bool):
     # q: [1, bq, hb*dh]; k,v: [1, Lk, hb*dh]; mask: [1, 1, Lk]; o like q.
-    mask = mask_ref[0, 0, :]
+    # additive key-pad bias, computed arithmetically from the 0/1 int8 mask
+    # (Mosaic cannot relayout broadcast bool vectors)
+    bias = mask_ref[0, :, :].astype(jnp.float32) * NEG_INF
     bi, qi, gi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    nq = pl.num_programs(1)
+    rows = q_ref.shape[1]
     for h in range(hb):
         h_abs = gi * hb + h
         q = q_ref[0, :, h * dh:(h + 1) * dh]
@@ -91,17 +140,21 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         v = v_ref[0, :, h * dh:(h + 1) * dh]
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
-        p = _softmax_fp32(scores)
+            preferred_element_type=jnp.float32) * scale + bias
+        p, rinv = _softmax_parts(scores)
         if dropout_rate > 0.0:
-            base = ((bi * n_heads + h_abs) * nq + qi) * p.shape[0] * p.shape[1]
-            keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
-            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-        p = p.astype(v.dtype)
-        o_ref[0, :, h * dh:(h + 1) * dh] = jax.lax.dot_general(
-            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            # single q block (asserted by the public API), so the stream
+            # covers the whole (Lq, Lk) tile of this (batch, head)
+            keep = _keep_mask(seed_ref[0], bi, h_abs, n_heads, rows,
+                              p.shape, dropout_rate, use_prng)
+            p = jnp.where(keep, p, 0.0)
+            rinv = rinv * (1.0 / (1.0 - dropout_rate))
+        # normalization rides the [rows, dh] output epilogue, not the
+        # [rows, Lk] probability tile
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * rinv
+        o_ref[0, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
 
 
 def _pad_packed(q, k, v, pad_mask, block_q):
@@ -140,7 +193,7 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, n_heads: int,
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
                           dropout_rate=dropout_rate, dh=dh, hb=hb,
-                          n_heads=n_heads),
+                          n_heads=n_heads, use_prng=not interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -174,20 +227,20 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, n_heads: int,
 
 
 # ---------------------------------------------------------------------------
-# Backward (Pallas, regenerates the dropout mask from the same hash stream)
+# Backward (Pallas, regenerates the dropout mask from the same stream)
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float,
-                dh: int, hb: int, n_heads: int, fwd_rows: int):
+                dh: int, hb: int, n_heads: int, fwd_rows: int,
+                use_prng: bool):
     # One program per (batch row, head group), single q block (dropout seed
     # stream assumes nq == 1).  `fwd_rows` is the UNPADDED q length the
-    # forward hashed with: the per-(batch,head) hash base must stride by
-    # fwd_rows*Lk even when this kernel's q block is padded past it, or the
-    # regenerated keep masks desynchronize for every (batch,head) after the
-    # first (padded rows only ever see zero cotangents, so their off-stream
-    # hashes are harmless).
-    mask = mask_ref[0, 0, :]
+    # forward generated keep bits for: the stream must cover exactly
+    # (fwd_rows, Lk) even when this kernel's q block is padded past it
+    # (padded rows only ever see zero cotangents, so their keep=True fill is
+    # harmless).
+    bias = mask_ref[0, :, :].astype(jnp.float32) * NEG_INF
     bi, gi = pl.program_id(0), pl.program_id(1)
     for h in range(hb):
         h_abs = gi * hb + h
@@ -195,30 +248,35 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         q = q_ref[0, :, sl]
         k = k_ref[0, :, sl]
         v = v_ref[0, :, sl]
-        do = do_ref[0, :, sl].astype(jnp.float32)
+        do = do_ref[0, :, sl]                         # stays bf16
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask[None, :] != 0, NEG_INF, scores)
-        p = _softmax_fp32(scores)                     # pre-dropout probs
+            preferred_element_type=jnp.float32) * scale + bias
+        # pre-dropout probs; the dropout 1/(1-rate) scale is UNIFORM, so it
+        # rides scalar epilogues (dv output, ds scale) instead of [Lq, Lk]
+        # tile passes
+        pt, rinv = _softmax_parts(scores)
+        p = pt * rinv
+        inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
         if dropout_rate > 0.0:
-            base = (bi * n_heads + h_abs) * fwd_rows * p.shape[1]
-            keep = _keep_mask(seed_ref[0], base, p.shape, dropout_rate)
-            inv = 1.0 / (1.0 - dropout_rate)
-            p_drop = jnp.where(keep, p * inv, 0.0)
+            keep = _keep_mask(seed_ref[0], bi, h_abs, n_heads, fwd_rows,
+                              p.shape, dropout_rate, use_prng)
+            p_drop = jnp.where(keep, p, 0.0)
         else:
             p_drop = p
-        dv_ref[0, :, sl] = jax.lax.dot_general(
-            p_drop.astype(do_ref.dtype), do.astype(do_ref.dtype),
+        dv = jax.lax.dot_general(
+            p_drop.astype(do_ref.dtype), do,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            preferred_element_type=jnp.float32)
+        dv_ref[0, :, sl] = (dv * inv).astype(dv_ref.dtype) if inv != 1.0 \
+            else dv.astype(dv_ref.dtype)
         dp = jax.lax.dot_general(
-            do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            dp = jnp.where(keep, dp * inv, 0.0)
+            dp = jnp.where(keep, dp, 0.0)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = (ds * scale).astype(q.dtype)
+        ds = (ds * (scale * inv)).astype(q.dtype)
         dq_ref[0, :, sl] = jax.lax.dot_general(
             ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dq_ref.dtype)
@@ -249,7 +307,8 @@ def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *, n_heads: int,
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale,
                           dropout_rate=dropout_rate, dh=dh, hb=hb,
-                          n_heads=n_heads, fwd_rows=lq),
+                          n_heads=n_heads, fwd_rows=lq,
+                          use_prng=not interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -305,19 +364,35 @@ def _reference_attention_with_mask(q, k, v, pad_mask, keep, rate, n_heads):
 
 
 def dropout_keep_mask(seed: int, b: int, h: int, lq: int, lk: int,
-                      rate: float, lk_padded: Optional[int] = None):
-    """The kernels' keep mask (single-q-block stream) via the same hash —
-    lets tests verify fwd/bwd against einsum attention with the same mask."""
+                      rate: float, lk_padded: Optional[int] = None,
+                      interpret: bool = True):
+    """Dump the kernels' keep mask [b, h, lq, lk] via the SAME generator the
+    fused kernels use (hardware PRNG when compiled, murmur hash when
+    interpreted) — lets tests verify fwd/bwd against einsum attention with
+    the same mask on either backend."""
     lk_p = lk_padded or (-(-lk // _LANE) * _LANE)
-    seed_a = jnp.asarray(seed, jnp.int32)
-    masks = []
-    for bi in range(b):
-        row = []
-        for hi in range(h):
-            base = jnp.asarray((bi * h + hi) * lq * lk_p, jnp.uint32)
-            row.append(_keep_mask(seed_a, base, (lq, lk_p), rate)[:, :lk])
-        masks.append(jnp.stack(row))
-    return jnp.stack(masks)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    def kernel(seed_ref, o_ref):
+        bi, hi = pl.program_id(0), pl.program_id(1)
+        keep = _keep_mask(seed_ref[0], bi, hi, h, lq, (lq, lk_p), rate,
+                          use_prng=not interpret)
+        o_ref[0, 0] = keep.astype(jnp.int8)
+
+    masks = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h),
+            in_specs=[],
+            out_specs=pl.BlockSpec((1, 1, lq, lk_p),
+                                   lambda bi, hi, *_: (bi, hi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, lk_p), jnp.int8),
+        interpret=interpret,
+    )(seed_arr)
+    return masks[..., :lk] != 0
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +408,7 @@ def flash_attention(q, k, v, pad_mask=None, seed=None, n_heads: int = 12,
     dropout (ignored at rate 0).
 
     With dropout_rate > 0 the whole sequence must fit one q block
-    (block_q >= Lq) so forward/backward hash streams align.
+    (block_q >= Lq) so forward/backward keep-mask streams align.
     """
     if dropout_rate > 0.0:
         assert block_q >= q.shape[1], "dropout needs a single q block"
