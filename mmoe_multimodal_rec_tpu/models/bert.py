@@ -21,7 +21,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from ..config import TextEncoderConfig
 from .layers import (Attention, Array, HashDropout, Mlp,
-                     resolve_remat_policy)
+                     resolve_remat_policy, gelu_exact)
 
 
 class BertLayer(nn.Module):
@@ -48,7 +48,7 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attention_norm")(
             checkpoint_name(x + h.astype(x.dtype), "attn_res"))
-        h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=nn.gelu,
+        h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=gelu_exact,
                 dropout=0.0, out_dropout=cfg.hidden_dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name="mlp")(x.astype(self.dtype), deterministic=deterministic)

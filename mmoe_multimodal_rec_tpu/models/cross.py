@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Array, AttnPool1D, Attention, Mlp, PreNormBlock, HashDropout
+from .layers import Array, AttnPool1D, Attention, Mlp, PreNormBlock, HashDropout, gelu_exact
 
 
 class RobustTextCrossExpert(nn.Module):
@@ -71,7 +71,7 @@ class RobustTextCrossExpert(nn.Module):
             return pooled
         normed = nn.LayerNorm(dtype=self.dtype, name="norm")(pooled)
         normed = normed.astype(self.dtype)
-        mlp_out = Mlp(4 * d, d, activation=nn.gelu, dropout=self.dropout,
+        mlp_out = Mlp(4 * d, d, activation=gelu_exact, dropout=self.dropout,
                       out_dropout=self.dropout, dtype=self.dtype,
                       param_dtype=self.param_dtype,
                       name="mlp")(normed, deterministic=deterministic)
@@ -109,7 +109,7 @@ class EnhancedCrossFuse(nn.Module):
         # -> sigmoid (model.py:475-481).
         g = nn.Dense(d // 2, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="gate_fc1")(jnp.concatenate([v_fused, t_fused], -1))
-        g = nn.gelu(g)
+        g = gelu_exact(g)
         g = nn.Dense(1, dtype=self.dtype, param_dtype=self.param_dtype,
                      bias_init=nn.initializers.constant(0.5),
                      name="gate_fc2")(g)
@@ -122,5 +122,5 @@ class EnhancedCrossFuse(nn.Module):
                            name="proj_norm")(fused + identity)
         out = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
                        name="proj_fc")(out.astype(self.dtype))
-        out = nn.gelu(out)
+        out = gelu_exact(out)
         return HashDropout(self.dropout)(out, deterministic=deterministic)

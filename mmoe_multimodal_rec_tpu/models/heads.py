@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Array, HashDropout
+from .layers import Array, HashDropout, gelu_exact
 
 
 class DenseGate(nn.Module):
@@ -42,11 +42,11 @@ class Tower(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(self.dtype)
         x = nn.Dense(self.hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = gelu_exact(x)
         x = HashDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.hidden // 2, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc2")(x)
-        x = nn.gelu(x)
+        x = gelu_exact(x)
         x = HashDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(1, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="fc3")(x)

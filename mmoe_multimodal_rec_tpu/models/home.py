@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Array, BatchNorm1D, Mlp, HashDropout
+from .layers import Array, BatchNorm1D, Mlp, HashDropout, gelu_exact
 
 
 class FeatureGate(nn.Module):
@@ -64,7 +64,7 @@ class HomeTower(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(self.dtype)
         x = nn.Dense(self.hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = gelu_exact(x)
         x = HashDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(1, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="fc2")(x)
@@ -97,11 +97,11 @@ class HomeMMoEHead(nn.Module):
         proj = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="input_projection")(flat)
         proj = nn.LayerNorm(dtype=self.dtype, name="input_norm")(proj)
-        proj = nn.gelu(proj.astype(self.dtype))
+        proj = gelu_exact(proj.astype(self.dtype))
         shared_input = proj + jnp.mean(expert_vecs, axis=1)
 
         def expert_mlp(name):
-            return Mlp(self.expert_hidden, d, activation=nn.gelu,
+            return Mlp(self.expert_hidden, d, activation=gelu_exact,
                        dropout=self.expert_dropout, dtype=self.dtype,
                        param_dtype=self.param_dtype, name=name)
 

@@ -19,7 +19,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..config import ImageEncoderConfig
-from .layers import Array, Mlp, HashDropout
+from .layers import Array, Mlp, HashDropout, gelu_exact
 from .vit import ViTEncoder
 
 # ImageNet stats (ref model.py:172-173), expanded to the (C, 16, 16) row.
@@ -83,7 +83,7 @@ class ImageExpertWithProjection(nn.Module):
                                              deterministic=deterministic)
         img_vec = tokens[:, 0]
         projected = Mlp(2 * self.cfg.hidden_size, self.cfg.hidden_size,
-                        activation=nn.gelu, dtype=self.dtype,
+                        activation=gelu_exact, dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         name="projection_head")(img_vec,
                                                 deterministic=deterministic)

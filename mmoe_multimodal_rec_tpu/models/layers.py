@@ -50,6 +50,13 @@ def resolve_remat_policy(name: str):
     raise ValueError(f"unknown remat policy {name!r}")
 
 
+def gelu_exact(x: Array) -> Array:
+    """erf-based GELU.  torch nn.GELU() and HF BERT/ViT use the EXACT form;
+    flax nn.gelu defaults to the tanh approximation, which deviates by up to
+    ~3e-3 near |x|=2 — enough to matter for checkpoint-parity claims."""
+    return nn.gelu(x, approximate=False)
+
+
 def big_neg(dtype) -> float:
     return NEG_INF
 

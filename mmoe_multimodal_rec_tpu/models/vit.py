@@ -20,7 +20,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from ..config import ImageEncoderConfig
 from .layers import (Array, Attention, HashDropout, Mlp,
-                     resolve_remat_policy)
+                     resolve_remat_policy, gelu_exact)
 
 
 class ViTLayer(nn.Module):
@@ -45,7 +45,7 @@ class ViTLayer(nn.Module):
         x = checkpoint_name(x + h.astype(x.dtype), "attn_res")
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm2")(x)
-        h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=nn.gelu,
+        h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=gelu_exact,
                 dropout=cfg.hidden_dropout, out_dropout=cfg.hidden_dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name="mlp")(h.astype(self.dtype), deterministic=deterministic)

@@ -251,12 +251,8 @@ def test_full_model_parity_baseline():
 
     ckpt = {k: v.state_dict() for k, v in modules.items()}
     got_good, got_best = _run_our_model(cfg, batch, ckpt)
-    # 3e-4 abs: fp32 reduction-order noise through ~36 chained matmuls
-    # differs between XLA and torch (each K=768 fp32 dot carries ~5e-5
-    # relative rounding; the gate/BN chains compound it) — a real wiring
-    # bug shows up orders of magnitude larger.
-    np.testing.assert_allclose(got_good, want_good.numpy(), atol=3e-4)
-    np.testing.assert_allclose(got_best, want_best.numpy(), atol=3e-4)
+    np.testing.assert_allclose(got_good, want_good.numpy(), atol=1e-4)
+    np.testing.assert_allclose(got_best, want_best.numpy(), atol=1e-4)
 
 
 # ---------------------------------------------------------------------------
@@ -329,9 +325,5 @@ def test_full_model_parity_home():
 
     ckpt = {k: v.state_dict() for k, v in modules.items()}
     got_good, got_best = _run_our_model(cfg, batch, ckpt)
-    # 3e-4 abs: fp32 reduction-order noise through ~36 chained matmuls
-    # differs between XLA and torch (each K=768 fp32 dot carries ~5e-5
-    # relative rounding; the gate/BN chains compound it) — a real wiring
-    # bug shows up orders of magnitude larger.
-    np.testing.assert_allclose(got_good, want_good.numpy(), atol=3e-4)
-    np.testing.assert_allclose(got_best, want_best.numpy(), atol=3e-4)
+    np.testing.assert_allclose(got_good, want_good.numpy(), atol=1e-4)
+    np.testing.assert_allclose(got_best, want_best.numpy(), atol=1e-4)
