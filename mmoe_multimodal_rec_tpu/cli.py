@@ -16,7 +16,7 @@ All hyperparameters ride the dotted config flags, e.g.
 from __future__ import annotations
 
 import argparse
-import glob
+from .data.io import fs_glob, fs_open
 import json
 import sys
 from typing import List, Optional
@@ -135,9 +135,10 @@ def cmd_features(argv: List[str]) -> int:
     import os
 
     def read_jsonl(pattern):
-        for path in sorted(glob.glob(pattern)):
-            opener = gzip.open if path.endswith(".gz") else open
-            with opener(path, "rt") as f:
+        for path in fs_glob(pattern):
+            raw = fs_open(path, "rb")
+            with (gzip.open(raw, "rt") if path.endswith(".gz")
+                  else __import__("io").TextIOWrapper(raw)) as f:
                 for line in f:
                     line = line.strip()
                     if line:
@@ -152,7 +153,7 @@ def cmd_features(argv: List[str]) -> int:
         args.train_end, args.valid_end, args.neg_k, args.rate_5)
     paths = write_split_jsonl(split_rows, args.output)
     url_path = os.path.join(args.output, "image_urls.jsonl")
-    with open(url_path, "w") as f:
+    with fs_open(url_path, "w") as f:
         for rec in image_urls:
             f.write(json.dumps(rec) + "\n")
     print(json.dumps({"splits": sorted({s for _, s in split_rows}),
@@ -173,9 +174,10 @@ def cmd_build_dataset(argv: List[str]) -> int:
     import gzip
 
     def read_jsonl(pattern):
-        for path in sorted(glob.glob(pattern)):
-            opener = gzip.open if path.endswith(".gz") else open
-            with opener(path, "rt") as f:
+        for path in fs_glob(pattern):
+            raw = fs_open(path, "rb")
+            with (gzip.open(raw, "rt") if path.endswith(".gz")
+                  else __import__("io").TextIOWrapper(raw)) as f:
                 for line in f:
                     if line.strip():
                         yield json.loads(line)
@@ -203,8 +205,8 @@ def cmd_patches(argv: List[str]) -> int:
     from .data.patches import fetch_patches, write_patch_jsonl
 
     def read(pattern):
-        for path in sorted(glob.glob(pattern)):
-            with open(path) as f:
+        for path in fs_glob(pattern):
+            with fs_open(path, "r") as f:
                 for line in f:
                     if line.strip():
                         yield json.loads(line)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import datetime
 import json
 import random
+import zlib
 from collections import deque
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
@@ -139,8 +140,10 @@ def causal_pos_neg_for_user(uid: str, rows: Iterable[dict],
     per positive (CausalPosNegByUser.process :194-266).
 
     Negatives carry the SAME causal user_feat as the positive they align to
-    and only minimal fields; the per-user RNG is seeded from hash(uid) so
-    output is deterministic per user.
+    and only minimal fields.  The per-user RNG is seeded from crc32(uid) —
+    the reference seeds from python hash(uid) (data4moe_beam.py:210), which
+    is salted per process and therefore NOT reproducible across runs; crc32
+    keeps the same per-user-deterministic intent and makes it actually hold.
     """
     rows = sorted(rows, key=lambda r: r.get("sort_timestamp")
                   if isinstance(r.get("sort_timestamp"), (int, float)) else -1)
@@ -149,7 +152,7 @@ def causal_pos_neg_for_user(uid: str, rows: Iterable[dict],
     review_cnt = 0
     price = Welford()
     hist: deque = deque(maxlen=3)
-    rnd = random.Random(hash(uid) & 0xFFFFFFFF)
+    rnd = random.Random(zlib.crc32(uid.encode("utf-8")) & 0xFFFFFFFF)
 
     for r in rows:
         if review_cnt <= 0:
@@ -301,3 +304,139 @@ def write_split_jsonl(split_rows: Dict[Tuple[str, str], List[dict]],
                 f.write(json.dumps(row) + "\n")
         paths.append(path)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Streaming pipeline: bounded memory over arbitrarily large review corpora
+# ---------------------------------------------------------------------------
+
+class SplitWriter:
+    """Streaming per-(split, category) JSONL sink (== WriteToFiles with
+    dynamic destinations, data4moe_beam.py:424-435).  Keeps one open handle
+    per destination (few categories x 3 splits); paths may be gs:// URLs."""
+
+    def __init__(self, output_dir: str):
+        import os
+        from .io import fs_makedirs, fs_open
+        self._os, self._fs_open, self._fs_makedirs = os, fs_open, fs_makedirs
+        self.output_dir = output_dir
+        self._handles: Dict[Tuple[str, str], object] = {}
+        self.paths: List[str] = []
+
+    def write(self, row: dict, split: str) -> None:
+        cat = (row.get("main_category") or "UNK").replace("/", "_")
+        h = self._handles.get((cat, split))
+        if h is None:
+            d = self._os.path.join(self.output_dir, split)
+            self._fs_makedirs(d)
+            path = self._os.path.join(d, f"{cat}.jsonl")
+            h = self._fs_open(path, "w")
+            self._handles[(cat, split)] = h
+            self.paths.append(path)
+        payload = json.dumps({k: v for k, v in row.items() if k != "_is_neg"})
+        data = payload + "\n"
+        h.write(data.encode("utf-8") if "b" in getattr(h, "mode", "w")
+                else data)
+
+    def close(self) -> None:
+        for h in self._handles.values():
+            h.close()
+        self._handles.clear()
+
+
+def run_feature_pipeline_streaming(meta_rows: Iterable[dict],
+                                   review_rows: Iterable[dict],
+                                   train_end: str, valid_end: str,
+                                   output_dir: str, *,
+                                   neg_k: int = 5, rate_5: float = 0.2,
+                                   all_pids_sample: int = 10_000,
+                                   seed: int = 0,
+                                   num_partitions: int = 64,
+                                   tmp_dir: Optional[str] = None
+                                   ) -> Tuple[List[str], List[dict]]:
+    """The same DAG as run_feature_pipeline with BOUNDED memory — the
+    TPU-host replacement for the reference's Dataflow scale-out
+    (data4moe_beam.py:322-435).
+
+    The only full-corpus shuffle the DAG needs is group-by-user; Beam gets it
+    from the Dataflow shuffle service, here it is an external hash shuffle:
+    enriched rows spill to `num_partitions` temp JSONL files keyed by
+    crc32(user_id), then each partition is grouped and processed
+    independently.  Peak RSS = the meta side-input dict (which Beam also
+    materializes per worker, as the AsDict side input at
+    data4moe_beam.py:355-363) + ONE partition of reviews
+    (~corpus/num_partitions rows).
+
+    Returns (output jsonl paths, image-url records).  Row-for-row identical
+    to run_feature_pipeline on the same input (tested).
+    """
+    import os
+    import tempfile
+
+    rng = random.Random(seed)
+    meta_by_pid: Dict[str, dict] = {}
+    image_urls: List[dict] = []
+    for m in meta_rows:
+        pid = m.get("parent_asin") or m.get("asin")
+        if not pid:
+            continue
+        meta_by_pid[pid] = m
+        image_urls.append({"parent_asin": pid,
+                           "url": extract_main_image(m.get("images", [])),
+                           "main_category": m.get("main_category", "UNK")})
+
+    own_tmp = tmp_dir is None
+    tmp_dir = tmp_dir or tempfile.mkdtemp(prefix="feature_shuffle_")
+    os.makedirs(tmp_dir, exist_ok=True)
+    parts = [open(os.path.join(tmp_dir, f"part-{i:04d}.jsonl"), "w")
+             for i in range(num_partitions)]
+    try:
+        # pass 1: stream downsample -> enrich -> hash-partition spill
+        reviews = (r for r in review_rows
+                   if r and (r.get("parent_asin") or r.get("asin")))
+        for row in enrich(meta_by_pid, downsample_by_star(reviews, rate_5,
+                                                          rng)):
+            i = zlib.crc32(row["user_id"].encode("utf-8")) % num_partitions
+            parts[i].write(json.dumps(row) + "\n")
+        for f in parts:
+            f.close()
+
+        # pid pool sampled AFTER the downsample pass so the shared-rng draw
+        # order (and thus every sampled id) matches run_feature_pipeline
+        pid_pool = list(meta_by_pid.keys())
+        if len(pid_pool) > all_pids_sample:
+            pid_pool = rng.sample(pid_pool, all_pids_sample)
+
+        # pass 2: per partition, group by user -> causal features ->
+        # negatives -> meta attach -> date split -> streaming sink
+        writer = SplitWriter(output_dir)
+        try:
+            for i in range(num_partitions):
+                path = os.path.join(tmp_dir, f"part-{i:04d}.jsonl")
+                by_user: Dict[str, List[dict]] = {}
+                with open(path) as f:
+                    for line in f:
+                        row = json.loads(line)
+                        by_user.setdefault(row["user_id"], []).append(row)
+                for uid, rows in by_user.items():
+                    for out in causal_pos_neg_for_user(uid, rows, pid_pool,
+                                                       neg_k):
+                        if out["_is_neg"]:
+                            for full in attach_meta_to_negatives([out],
+                                                                 meta_by_pid):
+                                writer.write(full, split_by_date(
+                                    full, train_end, valid_end))
+                        else:
+                            writer.write(out, split_by_date(out, train_end,
+                                                            valid_end))
+                os.unlink(path)
+        finally:
+            writer.close()
+        return writer.paths, image_urls
+    finally:
+        for f in parts:
+            if not f.closed:
+                f.close()
+        if own_tmp:
+            import shutil
+            shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+from .io import fs_makedirs, fs_open
 from typing import Callable, Iterable, Iterator, Optional
 
 
@@ -88,9 +89,10 @@ def write_jsonl_gzip_shards(rows: Iterable[dict], output_dir: str,
                             shard_size: int = 100_000,
                             transform: Optional[Callable[[dict], dict]] = None
                             ) -> Iterator[str]:
-    """Local-filesystem shard writer, mirroring upload_jsonl_gzip_shards
-    (meta2gcs.py:73-103) naming: {prefix}-{sid:05d}.jsonl.gz."""
-    os.makedirs(output_dir, exist_ok=True)
+    """Shard writer mirroring upload_jsonl_gzip_shards (meta2gcs.py:73-103)
+    naming: {prefix}-{sid:05d}.jsonl.gz.  output_dir may be local or a
+    gs://-style URL (fsspec-routed, data/io.py)."""
+    fs_makedirs(output_dir)
     gz = None
     path = None
     for idx, rec in enumerate(rows):
@@ -100,7 +102,7 @@ def write_jsonl_gzip_shards(rows: Iterable[dict], output_dir: str,
                 yield path
             sid = idx // shard_size
             path = os.path.join(output_dir, f"{prefix}-{sid:05d}.jsonl.gz")
-            gz = gzip.open(path, "wt", encoding="utf-8")
+            gz = gzip.open(fs_open(path, "wb"), "wt", encoding="utf-8")
         out = transform(rec) if transform else rec
         gz.write(json.dumps(out, ensure_ascii=False) + "\n")
     if gz:

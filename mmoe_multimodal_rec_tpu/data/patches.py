@@ -114,7 +114,8 @@ def write_patch_jsonl(records: Iterable[Dict], path: str) -> int:
     import gzip
     import json
     n = 0
-    with gzip.open(path, "wt") as f:
+    from .io import fs_open
+    with gzip.open(fs_open(path, "wb"), "wt") as f:
         for rec in records:
             f.write(json.dumps(rec, ensure_ascii=False) + "\n")
             n += 1

@@ -6,6 +6,10 @@ Byte-compatible with the reference's shard layout (data4model.py:239-259:
 `{key}.label.json`), so real shards produced by the reference pipeline stream
 straight into this framework and vice versa.  Implemented on the stdlib
 `tarfile` module — the `webdataset` package is not a dependency.
+
+Paths may carry a scheme (`gs://bucket/...`): IO then routes through fsspec
+(data/io.py), matching the reference's GCS-resident shards
+(meta2gcs.py:73-103, train.py:41-50 gs URLs).
 """
 from __future__ import annotations
 
@@ -14,6 +18,8 @@ import os
 import tarfile
 import uuid
 from typing import Dict, Iterable, Iterator, List, Optional
+
+from .io import fs_makedirs, fs_open, has_scheme
 
 Sample = Dict[str, bytes]  # field name -> raw bytes, plus "__key__" -> str
 
@@ -35,7 +41,8 @@ def write_shard(path: str, samples: Iterable[Sample],
         compress = path.endswith(".gz")
     mode = "w:gz" if compress else "w"
     n = 0
-    with tarfile.open(path, mode) as tar:
+    with fs_open(path, "wb") as raw, tarfile.open(fileobj=raw,
+                                                  mode=mode) as tar:
         for sample in samples:
             key = sample["__key__"]
             for field, payload in sample.items():
@@ -57,7 +64,8 @@ def iter_shard(path: str) -> Iterator[Sample]:
     change flushes the current sample.
     """
     mode = "r:gz" if path.endswith(".gz") else "r:"
-    with tarfile.open(path, mode) as tar:
+    with fs_open(path, "rb") as raw, tarfile.open(fileobj=raw,
+                                                  mode=mode) as tar:
         current_key: Optional[str] = None
         current: Sample = {}
         for member in tar:
@@ -90,7 +98,7 @@ class ShardWriter:
         self._buffer: List[Sample] = []
         self._shard_index = 0
         self.paths: List[str] = []
-        os.makedirs(output_dir, exist_ok=True)
+        fs_makedirs(output_dir)
 
     def write(self, sample: Sample) -> None:
         self._buffer.append(sample)

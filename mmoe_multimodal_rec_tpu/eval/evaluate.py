@@ -111,8 +111,8 @@ def evaluate(cfg: Config, model: MMoERecModel, trainable, frozen,
 def evaluate_from_config(cfg: Config, state, recalibrate: bool = False
                          ) -> Dict[str, float]:
     """Eval entry taking a TrainState (post-training or restored)."""
-    import glob
-    shards = sorted(glob.glob(cfg.data.valid_pattern))
+    from ..data.io import fs_glob
+    shards = fs_glob(cfg.data.valid_pattern)
     if not shards:
         raise FileNotFoundError(f"no shards match {cfg.data.valid_pattern!r}")
     model = MMoERecModel(cfg.model)

@@ -237,8 +237,8 @@ class Trainer:
 
 def train_from_config(cfg: Config) -> Dict[str, Any]:
     """End-to-end CLI entry: shards -> loader -> Trainer.fit with resume."""
-    import glob
-    shards = sorted(glob.glob(cfg.data.train_pattern))
+    from ..data.io import fs_glob
+    shards = fs_glob(cfg.data.train_pattern)
     if not shards:
         raise FileNotFoundError(
             f"no shards match {cfg.data.train_pattern!r}")

@@ -290,3 +290,102 @@ def test_full_offline_pipeline(tmp_path):
     s0 = samples[0]
     assert s0["user_text"].startswith("Category history:")
     assert s0["item_text"].startswith("Item category:")
+
+
+# ---------------------------------------------------------------------------
+# streaming pipeline (bounded memory) + scheme-aware IO
+# ---------------------------------------------------------------------------
+
+def _pipeline_fixture():
+    rng = np.random.default_rng(1)
+    metas = [{"parent_asin": f"p{i}", "main_category": "Sports",
+              "title": f"Product {i}", "price": float(i + 1),
+              "features": ["Solid."], "description": ["Nice."],
+              "images": [{"hi_res": f"http://x/{i}.jpg"}]}
+             for i in range(20)]
+    reviews = []
+    for u in range(8):
+        for j in range(5):
+            day = (u * 5 + j) % 27 + 1
+            reviews.append({
+                "user_id": f"u{u}", "parent_asin": f"p{(u * 3 + j) % 20}",
+                "rating": int(rng.integers(1, 6)),
+                "title": "Nice", "text": "Works great.",
+                "sort_timestamp": _ts(day),
+            })
+    return metas, reviews
+
+
+def _rows_key(r):
+    return json.dumps(r, sort_keys=True)
+
+
+def test_streaming_pipeline_matches_in_memory(tmp_path):
+    """run_feature_pipeline_streaming must emit row-for-row what the
+    in-memory DAG emits (VERDICT #6: same semantics, bounded RSS)."""
+    from mmoe_multimodal_rec_tpu.data.features import (
+        run_feature_pipeline_streaming)
+    metas, reviews = _pipeline_fixture()
+    kw = dict(train_end="2023-01-15", valid_end="2023-01-22",
+              neg_k=2, rate_5=1.0, seed=7)
+    split_rows, urls_mem = run_feature_pipeline(metas, reviews, **kw)
+
+    out = tmp_path / "stream_out"
+    paths, urls_stream = run_feature_pipeline_streaming(
+        metas, reviews, output_dir=str(out), num_partitions=5, **kw)
+    assert urls_stream == urls_mem
+
+    got = {}
+    for p in paths:
+        split = p.split("/")[-2]
+        cat = p.split("/")[-1][:-len(".jsonl")]
+        with open(p) as f:
+            got[(cat, split)] = sorted(_rows_key(json.loads(l))
+                                       for l in f if l.strip())
+    want = {(cat, split): sorted(_rows_key({k: v for k, v in r.items()
+                                            if k != "_is_neg"})
+                                 for r in rows)
+            for (cat, split), rows in split_rows.items()}
+    assert got == want
+
+
+def test_fs_open_and_glob_remote_scheme(tmp_path):
+    """gs://-style paths route through fsspec; memory:// exercises the same
+    code path without network (ref reads/writes gs:// everywhere,
+    meta2gcs.py:73-103, data4model.py:272-284)."""
+    pytest.importorskip("fsspec")
+    from mmoe_multimodal_rec_tpu.data.io import fs_glob, fs_open
+    base = "memory://fstest"
+    for i in range(3):
+        with fs_open(f"{base}/f{i}.txt", "wb") as f:
+            f.write(f"hello{i}".encode())
+    paths = fs_glob(f"{base}/*.txt")
+    assert len(paths) == 3 and all(p.startswith("memory://") for p in paths)
+    with fs_open(paths[1], "rb") as f:
+        assert f.read() == b"hello1"
+
+
+def test_tar_shards_roundtrip_remote_scheme():
+    """Shard writer + reader over an fsspec URL (webdataset-on-GCS parity)."""
+    pytest.importorskip("fsspec")
+    from mmoe_multimodal_rec_tpu.data.tar_io import iter_shard, write_shard
+    path = "memory://fstest-tars/data-000000.tar.gz"
+    samples = [{"__key__": f"k{i}", "user.json": b"{}",
+                "item.json": json.dumps({"i": i}).encode()} for i in range(4)]
+    assert write_shard(path, samples) == 4
+    back = list(iter_shard(path))
+    assert [s["__key__"] for s in back] == [f"k{i}" for i in range(4)]
+    assert json.loads(back[2]["item.json"]) == {"i": 2}
+
+
+def test_beam_adapter_is_import_gated():
+    from mmoe_multimodal_rec_tpu.data import beam_pipeline
+    try:
+        import apache_beam  # noqa: F401
+        # either real beam, or the tests/util.py reference-exec stub leaked
+        # into sys.modules from an earlier test — gating unobservable
+        pytest.skip("apache_beam importable; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="apache_beam"):
+        beam_pipeline.make_dofns()
