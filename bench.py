@@ -1,7 +1,14 @@
 """Benchmark: training-step examples/sec/chip on the flagship baseline MMoE.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "examples/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "examples/sec/chip", "vs_baseline": N,
+   "extra": {"train_home": ..., "infer": ...}}
+
+The headline metric is baseline-variant train throughput; `extra` carries
+the HoME-variant train and deterministic-inference numbers so round-over-
+round regressions in those paths stay visible in the driver snapshots
+(VERDICT r1 #7).  `--mode/--variant` still select a single measurement for
+iterating locally; the default full sweep is what the driver records.
 
 Workload == the reference's training step (train.py:218-288): per example,
 two LoRA-BERT-base encoders over the packed text chunks (~2 chunks x 384
@@ -31,9 +38,110 @@ import time
 REFERENCE_EXAMPLES_PER_SEC_PER_CHIP = 40.0  # documented estimate, see above
 
 
+def build_config(args, variant: str):
+    from mmoe_multimodal_rec_tpu.config import Config
+    cfg = Config()
+    cfg.model.variant = variant
+    cfg.model.remat = True
+    cfg.model.remat_policy = args.remat_policy
+    cfg.train.batch_size = args.batch
+    cfg.train.optim.grad_accum = args.accum
+    cfg.model.packer.chunk_budget = int(args.batch * args.chunks_per_sample)
+    cfg.train.mesh.data_parallel = 1
+    cfg.train.mesh.model_parallel = 1
+    return cfg
+
+
+def random_batch(cfg, seed: int):
+    import numpy as np
+    from mmoe_multimodal_rec_tpu.train.loop import dummy_batch
+    b = cfg.train.batch_size
+    n = cfg.model.packer.chunk_budget
+    L = cfg.model.packer.max_tok
+    r = np.random.default_rng(seed)
+    batch = dummy_batch(cfg, batch_size=b)
+    for side in ("user", "item"):
+        batch[f"{side}_tokens"] = r.integers(
+            999, 30000, (n, L)).astype(np.int32)
+        # ~8 sentences/sample routed into its 2 chunks
+        chunks = (np.arange(b) * (n // b))[:, None] + \
+            r.integers(0, max(n // b, 1), (b, 8))
+        batch[f"{side}_sent_chunk"][:, :8] = chunks.astype(np.int32)
+        batch[f"{side}_sent_tok"][:, :8] = r.integers(
+            1, L - 1, (b, 8)).astype(np.int32)
+    batch["patches"] = r.integers(0, 256, (b, 196, 768)).astype(np.uint8)
+    batch["has_image"] = (r.random(b) < 0.8).astype(np.int32)
+    batch["label_good"] = (r.random(b) < 0.5).astype(np.float32)
+    batch["label_best"] = (r.random(b) < 0.3).astype(np.float32)
+    return batch
+
+
+def measure_train(args, variant: str):
+    import jax
+    import numpy as np
+    from mmoe_multimodal_rec_tpu.train.loop import Trainer
+    from mmoe_multimodal_rec_tpu.parallel.mesh import make_mesh
+    cfg = build_config(args, variant)
+    mesh = make_mesh(cfg.train.mesh, devices=jax.devices()[:1])
+    trainer = Trainer(cfg, mesh=mesh)
+    stacked = {k: np.broadcast_to(v, (args.accum,) + v.shape).copy()
+               for k, v in random_batch(cfg, 0).items()}
+    # stage the batch on device once: the production input pipeline overlaps
+    # host->device transfers (data/loader.device_prefetch), so the step
+    # metric should not pay a synchronous re-upload per step
+    stacked = jax.device_put(stacked, trainer._batch_sharding)
+
+    # warmup (includes compile); device_get forces a host fetch —
+    # block_until_ready alone does not drain the remote transport.
+    t_compile = time.perf_counter()
+    for _ in range(args.warmup):
+        m = trainer.run_step(stacked, device_resident=True)
+    float(jax.device_get(m["loss"]))
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        m = trainer.run_step(stacked, device_resident=True)
+    float(jax.device_get(m["loss"]))
+    dt = time.perf_counter() - t0
+    examples = args.steps * args.accum * args.batch
+    return examples / dt, dt / args.steps * 1000, compile_s
+
+
+def measure_infer(args):
+    import jax
+    from mmoe_multimodal_rec_tpu.models.mmoe import MMoERecModel
+    cfg = build_config(args, "baseline")
+    cfg.train.batch_size = args.infer_batch
+    cfg.model.packer.chunk_budget = int(args.infer_batch *
+                                        args.chunks_per_sample)
+    model = MMoERecModel(cfg.model)
+    batch = random_batch(cfg, 0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def fwd(variables, batch):
+        out = model.apply(variables, batch, deterministic=True)
+        return out.logit_good, out.logit_best
+
+    t_compile = time.perf_counter()
+    for _ in range(args.warmup):
+        out = fwd(variables, batch)
+    float(jax.device_get(out[0]).sum())
+    compile_s = time.perf_counter() - t_compile
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        out = fwd(variables, batch)
+    float(jax.device_get(out[0]).sum())
+    dt = time.perf_counter() - t0
+    return args.steps * args.infer_batch / dt, dt / args.steps * 1000, \
+        compile_s
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--infer-batch", type=int, default=64)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
@@ -41,8 +149,8 @@ def main():
     ap.add_argument("--chunks-per-sample", type=float, default=2.0,
                     help="avg packed chunks/side (review text packs to ~1-2; "
                          "reference cap is 4)")
-    ap.add_argument("--mode", type=str, default="train",
-                    choices=["train", "infer"])
+    ap.add_argument("--mode", type=str, default="all",
+                    choices=["all", "train", "infer"])
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--remat-policy", type=str, default="attn",
                     choices=["full", "dots", "attn"])
@@ -55,6 +163,7 @@ def main():
     # persistent compilation cache: repeated bench invocations skip the
     # multi-minute XLA compile when the program is unchanged
     import os
+    import sys
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     try:
@@ -62,111 +171,45 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
-    import numpy as np
-
-    from mmoe_multimodal_rec_tpu.config import Config
-    from mmoe_multimodal_rec_tpu.models.mmoe import MMoERecModel
-    from mmoe_multimodal_rec_tpu.train.loop import Trainer, dummy_batch
-    from mmoe_multimodal_rec_tpu.parallel.mesh import make_mesh
-
-    n_chips = 1  # bench runs single-chip; metric is per chip
-
-    cfg = Config()
-    cfg.model.variant = args.variant
-    cfg.model.remat = True
-    cfg.model.remat_policy = args.remat_policy
-    cfg.train.batch_size = args.batch
-    cfg.train.optim.grad_accum = args.accum
-    cfg.model.packer.chunk_budget = int(args.batch * args.chunks_per_sample)
-    cfg.train.mesh.data_parallel = 1
-    cfg.train.mesh.model_parallel = 1
-
-    mesh = make_mesh(cfg.train.mesh, devices=jax.devices()[:1])
-
-    rng = np.random.default_rng(0)
-    b, n = args.batch, cfg.model.packer.chunk_budget
-    s = cfg.model.packer.fixed_sent_count
-    L = cfg.model.packer.max_tok
-
-    def random_batch(seed):
-        r = np.random.default_rng(seed)
-        batch = dummy_batch(cfg, batch_size=b)
-        for side in ("user", "item"):
-            batch[f"{side}_tokens"] = r.integers(
-                999, 30000, (n, L)).astype(np.int32)
-            # ~8 sentences/sample routed into its 2 chunks
-            chunks = (np.arange(b) * (n // b))[:, None] + \
-                r.integers(0, max(n // b, 1), (b, 8))
-            batch[f"{side}_sent_chunk"][:, :8] = chunks.astype(np.int32)
-            batch[f"{side}_sent_tok"][:, :8] = r.integers(
-                1, L - 1, (b, 8)).astype(np.int32)
-        batch["patches"] = r.integers(0, 256, (b, 196, 768)).astype(np.uint8)
-        batch["has_image"] = (r.random(b) < 0.8).astype(np.int32)
-        batch["label_good"] = (r.random(b) < 0.5).astype(np.float32)
-        batch["label_best"] = (r.random(b) < 0.3).astype(np.float32)
-        return batch
 
     if args.mode == "train":
-        trainer = Trainer(cfg, mesh=mesh)
-        stacked = {k: np.broadcast_to(
-            v, (args.accum,) + v.shape).copy()
-            for k, v in random_batch(0).items()}
-        # stage the batch on device once: the production input pipeline
-        # overlaps host->device transfers (data/loader.device_prefetch), so
-        # the step metric should not pay a synchronous re-upload per step
-        stacked = jax.device_put(stacked, trainer._batch_sharding)
-
-        def step():
-            return trainer.run_step(stacked)
-
-        # warmup (includes compile); float() forces a device->host fetch —
-        # block_until_ready alone does not drain the remote transport.
-        t_compile = time.perf_counter()
-        for _ in range(args.warmup):
-            m = step()
-        float(jax.device_get(m["loss"]))
-        compile_s = time.perf_counter() - t_compile
-
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            m = step()
-        float(jax.device_get(m["loss"]))
-        dt = time.perf_counter() - t0
-        examples = args.steps * args.accum * args.batch
-        metric = "train_examples_per_sec_per_chip"
+        value, ms, compile_s = measure_train(args, args.variant)
+        print(f"[bench] compile+warmup {compile_s:.1f}s, {ms:.1f} ms/step",
+              file=sys.stderr)
+        out = {"metric": ("train_examples_per_sec_per_chip"
+                          if args.variant == "baseline" else
+                          f"train_{args.variant}_examples_per_sec_per_chip"),
+               "value": round(value, 2), "unit": "examples/sec/chip",
+               "vs_baseline": round(
+                   value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}
+    elif args.mode == "infer":
+        value, ms, compile_s = measure_infer(args)
+        print(f"[bench] compile+warmup {compile_s:.1f}s, {ms:.1f} ms/step",
+              file=sys.stderr)
+        out = {"metric": "infer_examples_per_sec_per_chip",
+               "value": round(value, 2), "unit": "examples/sec/chip",
+               "vs_baseline": round(
+                   value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}
     else:
-        model = MMoERecModel(cfg.model)
-        batch = random_batch(0)
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-
-        @jax.jit
-        def fwd(variables, batch):
-            out = model.apply(variables, batch, deterministic=True)
-            return out.logit_good, out.logit_best
-
-        t_compile = time.perf_counter()
-        for _ in range(args.warmup):
-            out = fwd(variables, batch)
-        float(jax.device_get(out[0]).sum())
-        compile_s = time.perf_counter() - t_compile
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            out = fwd(variables, batch)
-        float(jax.device_get(out[0]).sum())
-        dt = time.perf_counter() - t0
-        examples = args.steps * args.batch
-        metric = "infer_examples_per_sec_per_chip"
-
-    import sys
-    print(f"[bench] compile+warmup {compile_s:.1f}s, "
-          f"{dt / args.steps * 1000:.1f} ms/step", file=sys.stderr)
-    value = examples / dt / n_chips
-    print(json.dumps({
-        "metric": metric,
-        "value": round(value, 2),
-        "unit": "examples/sec/chip",
-        "vs_baseline": round(value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
-    }))
+        v_base, ms_b, c_b = measure_train(args, "baseline")
+        print(f"[bench] baseline train: compile {c_b:.1f}s, {ms_b:.1f} "
+              f"ms/step", file=sys.stderr)
+        v_home, ms_h, c_h = measure_train(args, "home")
+        print(f"[bench] home train: compile {c_h:.1f}s, {ms_h:.1f} ms/step",
+              file=sys.stderr)
+        v_inf, ms_i, c_i = measure_infer(args)
+        print(f"[bench] infer b{args.infer_batch}: compile {c_i:.1f}s, "
+              f"{ms_i:.1f} ms/step", file=sys.stderr)
+        out = {"metric": "train_examples_per_sec_per_chip",
+               "value": round(v_base, 2), "unit": "examples/sec/chip",
+               "vs_baseline": round(
+                   v_base / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
+               "extra": {
+                   "train_home": round(v_home, 2),
+                   "infer": round(v_inf, 2),
+                   "infer_vs_baseline": round(
+                       v_inf / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -92,6 +92,11 @@ class ModelConfig:
     # TwoTaskMMoE towers (ref model.py:537-557)
     tower_hidden: int = 256
     tower_dropout: float = 0.0
+    # Expert gating: "dense" = reference parity (model.py:513-524);
+    # "topk" = sparse top-k routing + Switch load-balance aux, the future
+    # work the reference README (:672) names (opt-in, changes numerics)
+    gate_type: str = "dense"
+    gate_topk: int = 2
     # HoME head (ref model_HoME.py:530-588; trainer overrides tower=512)
     home_shared_experts: int = 4
     home_task_experts: int = 2
@@ -148,6 +153,8 @@ class LossConfig:
     lambda_user_img: float = 0.1
     lambda_item_img: float = 0.1
     temperature: float = 0.07
+    # weight on the top-k gate load-balance aux (only with gate_type=topk)
+    lambda_gate_balance: float = 0.01
 
 
 @dataclass

@@ -1,6 +1,6 @@
 from .bert import BertEncoder, BertLayer
 from .cross import EnhancedCrossFuse, RobustTextCrossExpert
-from .heads import DenseGate, Tower, TwoTaskMMoE
+from .heads import DenseGate, TopKGate, Tower, TwoTaskMMoE
 from .home import (FeatureGate, HomeExpertWrapper, HomeMMoEHead, HomeTower,
                    SelfGate)
 from .image_expert import (ImageExpertWithProjection, ItemImageExpert,
@@ -13,7 +13,7 @@ from .vit import ViTEncoder, ViTLayer
 
 __all__ = [
     "BertEncoder", "BertLayer", "EnhancedCrossFuse", "RobustTextCrossExpert",
-    "DenseGate", "Tower", "TwoTaskMMoE", "FeatureGate", "HomeExpertWrapper",
+    "DenseGate", "TopKGate", "Tower", "TwoTaskMMoE", "FeatureGate", "HomeExpertWrapper",
     "HomeMMoEHead", "HomeTower", "SelfGate", "ImageExpertWithProjection",
     "ItemImageExpert", "normalize_patches", "Attention", "AttnPool1D",
     "BatchNorm1D", "LoRADense", "Mlp", "PreNormBlock", "MMoERecModel",

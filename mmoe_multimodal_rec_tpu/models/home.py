@@ -86,12 +86,14 @@ class HomeMMoEHead(nn.Module):
     expert_dropout: float = 0.1
     tower_hidden: int = 512      # trainer override (ref train_HoME.py:180)
     tower_dropout: float = 0.1
+    gate_type: str = "dense"
+    gate_topk: int = 2
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, expert_vecs: Array, *,
-                 deterministic: bool = True) -> Tuple[Array, Array]:
+                 deterministic: bool = True) -> Tuple[Array, Array, Array]:
         b, n, d = expert_vecs.shape
         flat = expert_vecs.reshape(b, n * d)
         proj = nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -138,14 +140,12 @@ class HomeMMoEHead(nn.Module):
         experts_good = jnp.stack(meta_enh + good_enh, axis=1)
         experts_best = jnp.stack(meta_enh + best_enh, axis=1)
 
-        from .heads import DenseGate
+        from .heads import make_gates
         n_pool = self.n_shared_experts + self.n_task_experts
-        w_good = DenseGate(n_pool, dtype=self.dtype,
-                           param_dtype=self.param_dtype,
-                           name="gate_good")(shared_input)
-        w_best = DenseGate(n_pool, dtype=self.dtype,
-                           param_dtype=self.param_dtype,
-                           name="gate_best")(shared_input)
+        (w_good, w_best), balance = make_gates(
+            self.gate_type, n_pool, self.gate_topk,
+            ("gate_good", "gate_best"), self.dtype, self.param_dtype,
+            shared_input)
         fused_good = jnp.einsum("bn,bnd->bd",
                                 w_good.astype(experts_good.dtype), experts_good)
         fused_best = jnp.einsum("bn,bnd->bd",
@@ -159,7 +159,7 @@ class HomeMMoEHead(nn.Module):
                                dtype=self.dtype, param_dtype=self.param_dtype,
                                name="tower_best")(fused_best,
                                                   deterministic=deterministic)
-        return logit_good, logit_best
+        return logit_good, logit_best, balance
 
 
 class HomeExpertWrapper(nn.Module):

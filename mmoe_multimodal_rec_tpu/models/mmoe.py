@@ -128,7 +128,7 @@ class MMoERecModel(nn.Module):
                     vec, deterministic=deterministic,
                     use_running_average=bn_use_running_average))
             expert_vecs = jnp.stack(wrapped, axis=1)
-            logit_good, logit_best = HomeMMoEHead(
+            logit_good, logit_best, balance = HomeMMoEHead(
                 num_input_experts=cfg.n_experts,
                 n_shared_experts=cfg.home_shared_experts,
                 n_task_experts=cfg.home_task_experts,
@@ -136,16 +136,19 @@ class MMoERecModel(nn.Module):
                 expert_dropout=cfg.home_expert_dropout,
                 tower_hidden=cfg.home_tower_hidden,
                 tower_dropout=cfg.home_tower_dropout,
+                gate_type=cfg.gate_type, gate_topk=cfg.gate_topk,
                 dtype=dtype, param_dtype=pdtype, name="head")(
                 expert_vecs, deterministic=deterministic)
         else:
             expert_vecs = jnp.stack(
                 [u_doc, i_doc, img_vec, ui_vec, xui, xti], axis=1)
-            logit_good, logit_best = TwoTaskMMoE(
+            logit_good, logit_best, balance = TwoTaskMMoE(
                 n_expert=cfg.n_experts, tower_hidden=cfg.tower_hidden,
-                tower_dropout=cfg.tower_dropout, dtype=dtype,
-                param_dtype=pdtype, name="head")(
+                tower_dropout=cfg.tower_dropout,
+                gate_type=cfg.gate_type, gate_topk=cfg.gate_topk,
+                dtype=dtype, param_dtype=pdtype, name="head")(
                 expert_vecs, deterministic=deterministic)
 
+        aux["gate_balance"] = balance
         return ModelOutputs(logit_good.astype(jnp.float32),
                             logit_best.astype(jnp.float32), aux)

@@ -154,7 +154,15 @@ class Trainer:
 
         def stacked_iter():
             while True:
-                yield stack_micro_batches([next(it) for _ in range(accum)])
+                micro = []
+                try:
+                    for _ in range(accum):
+                        micro.append(next(it))
+                except StopIteration:
+                    # finite stream ended mid-epoch: stop cleanly (a bare
+                    # next() here would surface as PEP-479 RuntimeError)
+                    return
+                yield stack_micro_batches(micro)
 
         staged = device_prefetch(stacked_iter(), n=cfg.data.num_prefetch,
                                  sharding=self._batch_sharding)

@@ -66,6 +66,10 @@ def total_loss(logit_good: Array, logit_best: Array, labels_good: Array,
             + weighted_bce_with_logits(logit_best, labels_best,
                                        cfg.pos_weight_best, valid))
     cl = jnp.zeros((), jnp.float32)
+    if aux is not None and "gate_balance" in aux:
+        # nonzero only under top-k gating (heads.TopKGate); dense gates
+        # contribute a constant 0 so reference-parity losses are unchanged
+        main = main + cfg.lambda_gate_balance * aux["gate_balance"]
     if home and aux is not None:
         # RAW expert vectors feed the contrastive terms (train_HoME.py:360-364)
         cl = (cfg.lambda_cross
