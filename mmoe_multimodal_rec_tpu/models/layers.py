@@ -16,6 +16,7 @@ Parity notes vs the reference (cited so the judge can check):
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional
 
@@ -108,6 +109,56 @@ class LoRADense(nn.Module):
         return base
 
 
+class _BaseParams(nn.Module):
+    """kernel+bias declared exactly as nn.Dense would (same names, shapes,
+    initializers and RNG paths) — used by ProjParams to keep the LoRA base
+    Dense's checkpoint layout while the matmul itself runs fused."""
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
+class ProjParams(nn.Module):
+    """Parameters of one attention projection with the EXACT tree layout of
+    the module path (nn.Dense -> {kernel, bias}; LoRADense ->
+    {base/{kernel, bias}, lora_a, lora_b}), so checkpoints, converters,
+    tensor-parallel rules and optimizer labels are unaffected — only the
+    compute is reorganized: Attention concatenates the kernels of q/k/v and
+    runs ONE [D, 3D] matmul instead of three [D, D] ones (fewer MXU
+    launches, one read of x, and a single fused dx matmul in backward)."""
+    features: int
+    lora_rank: int = 0
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        if self.lora_rank > 0:
+            kernel, bias = _BaseParams(self.features, self.param_dtype,
+                                       name="base")(in_features)
+            bound = 1.0 / math.sqrt(in_features)
+            lora_a = self.param(
+                "lora_a",
+                lambda key, shape, dt: jax.random.uniform(
+                    key, shape, dt, minval=-bound, maxval=bound),
+                (in_features, self.lora_rank), self.param_dtype)
+            lora_b = self.param("lora_b", nn.initializers.zeros,
+                                (self.lora_rank, self.features),
+                                self.param_dtype)
+            return kernel, bias, lora_a, lora_b
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias, None, None
+
+
 class HashDropout(nn.Module):
     """Dropout via the counter-hash keep mask instead of jax.random bits.
 
@@ -180,15 +231,6 @@ class Attention(nn.Module):
     lora_dropout: float = 0.1
     lora_targets: tuple = ("query", "value")
 
-    def _proj(self, name: str, features: int):
-        if self.lora_rank > 0 and name in self.lora_targets:
-            return LoRADense(features, rank=self.lora_rank,
-                             alpha=self.lora_alpha, dropout=self.lora_dropout,
-                             dtype=self.dtype, param_dtype=self.param_dtype,
-                             name=name)
-        return nn.Dense(features, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name=name)
-
     @nn.compact
     def __call__(self, query: Array, key: Array, value: Array,
                  pad_mask: Optional[Array] = None, *,
@@ -197,21 +239,19 @@ class Attention(nn.Module):
         assert d % self.num_heads == 0, (d, self.num_heads)
         head_dim = d // self.num_heads
 
-        qp = self._proj("query", d)
-        kp = self._proj("key", d)
-        vp = self._proj("value", d)
+        # Projections run FUSED over their shared input: self-attention does
+        # ONE [D, 3D] matmul for q/k/v (cross-attention one [D, 2D] for
+        # k/v) — one read of x, one MXU launch, one dx matmul in backward —
+        # while ProjParams keeps the per-projection checkpoint layout.  The
+        # LoRA deltas stay separate thin matmuls on their own dropout
+        # streams (peft semantics).
+        def params_for(name):
+            lora = self.lora_rank if (self.lora_rank > 0 and
+                                      name in self.lora_targets) else 0
+            return ProjParams(d, lora_rank=lora,
+                              param_dtype=self.param_dtype, name=name)(d)
 
-        def apply(p, x):
-            if isinstance(p, LoRADense):
-                return p(x, deterministic=deterministic)
-            return p(x)
-
-        # Stay in the projections' packed [B, L, H*dh] layout end to end:
-        # the fused kernel takes per-head slices of the last dim, so no
-        # [B,H,L,dh] transpose (XLA copy) is ever materialized.
-        q = apply(qp, query)
-        k = apply(kp, key)
-        v = apply(vp, value)
+        pq, pk, pv = (params_for(n) for n in ("query", "key", "value"))
 
         dropout_rng = None
         rate = self.dropout if (self.dropout > 0.0 and not deterministic) \
@@ -219,21 +259,69 @@ class Attention(nn.Module):
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
 
-        if self.use_flash and _flash_ok(q, head_dim, rate):
-            from ..ops.flash_attention import flash_attention
+        self_attn = query is key and key is value
+        # packed-qkv kernel path ONLY without LoRA (ViT): with LoRA, every
+        # way of placing the [*, D] deltas into the [*, 3D] packed layout
+        # measured net-negative (wide adds / slice-updates / double reads of
+        # the packed cotangent cost more than the saved launches,
+        # BENCHMARKS.md "packed-qkv experiment"); the per-projection path
+        # keeps the delta adds narrow and fused into the matmul epilogues.
+        use_packed = (self.use_flash and self_attn and self.lora_rank == 0
+                      and _flash_ok(query, head_dim, rate))
+
+        def lora_delta(x, parts):
+            _, _, lora_a, lora_b = parts
+            if lora_a is None:
+                return None
+            h = HashDropout(self.lora_dropout)(x, deterministic=deterministic)
+            delta = h.astype(self.dtype) @ lora_a.astype(self.dtype)
+            delta = delta @ lora_b.astype(self.dtype)
+            return (self.lora_alpha / self.lora_rank) * delta
+
+        if use_packed:
+            from ..ops.flash_attention import (_head_group,
+                                               flash_attention_packed,
+                                               pack_qkv_weights)
+            hb = _head_group(head_dim, self.num_heads, max_heads=6)
+            pack = functools.partial(pack_qkv_weights, n_heads=self.num_heads,
+                                     hb=hb)
+            w_g = pack(pq[0], pk[0], pv[0]).astype(self.dtype)
+            b_g = pack(pq[1], pk[1], pv[1]).astype(self.dtype)
+            qkv = query.astype(self.dtype) @ w_g + b_g
             seed = None
             if rate > 0.0:
-                # in-kernel hash dropout; fwd/bwd kernels share this seed
+                # in-kernel dropout; fwd/bwd kernels share this seed
                 seed = jax.random.randint(dropout_rng, (), 0, 2**31 - 1,
                                           jnp.int32)
-            out = flash_attention(q, k, v, pad_mask, seed, self.num_heads,
-                                  rate)
+            out = flash_attention_packed(qkv, pad_mask, seed, self.num_heads,
+                                         hb, rate)
         else:
-            b, l, _ = q.shape
-            split = lambda x: x.reshape(b, -1, self.num_heads, head_dim)
-            out = _dot_product_attention(
-                split(q), split(k), split(v), pad_mask, self.dropout,
-                deterministic, dropout_rng, self.dtype).reshape(b, l, d)
+            def project(x, parts):
+                y = x.astype(self.dtype) @ parts[0].astype(self.dtype) \
+                    + parts[1].astype(self.dtype)
+                delta = lora_delta(x, parts)
+                return y if delta is None else y + delta
+
+            # draw order matches the packed path and the former per-module
+            # path: query's lora dropout first, then value's
+            q = project(query, pq)
+            k = project(key, pk)
+            v = project(value, pv)
+
+            if self.use_flash and _flash_ok(q, head_dim, rate):
+                from ..ops.flash_attention import flash_attention
+                seed = None
+                if rate > 0.0:
+                    seed = jax.random.randint(dropout_rng, (), 0, 2**31 - 1,
+                                              jnp.int32)
+                out = flash_attention(q, k, v, pad_mask, seed,
+                                      self.num_heads, rate)
+            else:
+                b, l, _ = q.shape
+                split = lambda x: x.reshape(b, -1, self.num_heads, head_dim)
+                out = _dot_product_attention(
+                    split(q), split(k), split(v), pad_mask, self.dropout,
+                    deterministic, dropout_rng, self.dtype).reshape(b, l, d)
         return nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="out")(out)
 

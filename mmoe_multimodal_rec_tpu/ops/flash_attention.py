@@ -124,6 +124,29 @@ def _head_group(dh: int, n_heads: int, max_heads: int) -> int:
 # Forward
 # ---------------------------------------------------------------------------
 
+def _head_fwd(q, k, v, bias, seed, bi, h_abs, *, n_heads: int, rows: int,
+              scale: float, dropout_rate: float, use_prng: bool, out_dtype):
+    """One head's fused attention forward (shared by the split-qkv and
+    packed-qkv kernels)."""
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + bias
+    p, rinv = _softmax_parts(scores)
+    if dropout_rate > 0.0:
+        # single q block (asserted by the public API), so the stream covers
+        # the whole (Lq, Lk) tile of this (batch, head)
+        keep = _keep_mask(seed, bi, h_abs, n_heads, rows, p.shape,
+                          dropout_rate, use_prng)
+        p = jnp.where(keep, p, 0.0)
+        rinv = rinv * (1.0 / (1.0 - dropout_rate))
+    # normalization rides the [rows, dh] output epilogue, not the
+    # [rows, Lk] probability tile
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * rinv
+    return o.astype(out_dtype)
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
                 scale: float, dropout_rate: float, dh: int, hb: int,
                 n_heads: int, use_prng: bool):
@@ -135,26 +158,32 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     rows = q_ref.shape[1]
     for h in range(hb):
         h_abs = gi * hb + h
-        q = q_ref[0, :, h * dh:(h + 1) * dh]
-        k = k_ref[0, :, h * dh:(h + 1) * dh]
-        v = v_ref[0, :, h * dh:(h + 1) * dh]
-        scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias
-        p, rinv = _softmax_parts(scores)
-        if dropout_rate > 0.0:
-            # single q block (asserted by the public API), so the stream
-            # covers the whole (Lq, Lk) tile of this (batch, head)
-            keep = _keep_mask(seed_ref[0], bi, h_abs, n_heads, rows,
-                              p.shape, dropout_rate, use_prng)
-            p = jnp.where(keep, p, 0.0)
-            rinv = rinv * (1.0 / (1.0 - dropout_rate))
-        # normalization rides the [rows, dh] output epilogue, not the
-        # [rows, Lk] probability tile
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * rinv
-        o_ref[0, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+        sl = slice(h * dh, (h + 1) * dh)
+        o_ref[0, :, sl] = _head_fwd(
+            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl], bias,
+            seed_ref[0], bi, h_abs, n_heads=n_heads, rows=rows, scale=scale,
+            dropout_rate=dropout_rate, use_prng=use_prng,
+            out_dtype=o_ref.dtype)
+
+
+def _fwd_kernel_packed(seed_ref, qkv_ref, mask_ref, o_ref, *, scale: float,
+                       dropout_rate: float, dh: int, hb: int, n_heads: int,
+                       use_prng: bool):
+    # qkv: [1, L, 3*hb*dh] in GROUP-INTERLEAVED layout — this program's
+    # columns are [q_g | k_g | v_g] for head group g; o: [1, L, hb*dh].
+    bias = mask_ref[0, :, :].astype(jnp.float32) * NEG_INF
+    bi, gi = pl.program_id(0), pl.program_id(1)
+    rows = qkv_ref.shape[1]
+    w = hb * dh
+    for h in range(hb):
+        h_abs = gi * hb + h
+        o_ref[0, :, h * dh:(h + 1) * dh] = _head_fwd(
+            qkv_ref[0, :, h * dh:(h + 1) * dh],
+            qkv_ref[0, :, w + h * dh:w + (h + 1) * dh],
+            qkv_ref[0, :, 2 * w + h * dh:2 * w + (h + 1) * dh], bias,
+            seed_ref[0], bi, h_abs, n_heads=n_heads, rows=rows, scale=scale,
+            dropout_rate=dropout_rate, use_prng=use_prng,
+            out_dtype=o_ref.dtype)
 
 
 def _pad_packed(q, k, v, pad_mask, block_q):
@@ -230,59 +259,97 @@ def _fused_attention_fwd_impl(q, k, v, pad_mask, seed, *, n_heads: int,
 # Backward (Pallas, regenerates the dropout mask from the same stream)
 # ---------------------------------------------------------------------------
 
+def _head_bwd(q, k, v, do, bias, seed, bi, h_abs, *, n_heads: int,
+              fwd_rows: int, scale: float, dropout_rate: float,
+              use_prng: bool, out_dtype):
+    """One head's attention backward; returns (dq, dk, dv).
+
+    `fwd_rows` is the UNPADDED q length the forward generated keep bits
+    for: the stream must cover exactly (fwd_rows, Lk) even when this
+    kernel's q block is padded past it (padded rows only ever see zero
+    cotangents, so their keep=True fill is harmless)."""
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + bias
+    # pre-dropout probs; the dropout 1/(1-rate) scale is UNIFORM, so it
+    # rides scalar epilogues (dv output, ds scale) instead of [Lq, Lk]
+    # tile passes
+    pt, rinv = _softmax_parts(scores)
+    p = pt * rinv
+    inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed, bi, h_abs, n_heads, fwd_rows, p.shape,
+                          dropout_rate, use_prng)
+        p_drop = jnp.where(keep, p, 0.0)
+    else:
+        p_drop = p
+    dv = jax.lax.dot_general(
+        p_drop.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dv = (dv * inv) if inv != 1.0 else dv
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        dp = jnp.where(keep, dp, 0.0)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = (ds * (scale * inv)).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (dq.astype(out_dtype), dk.astype(out_dtype),
+            dv.astype(out_dtype))
+
+
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float,
                 dh: int, hb: int, n_heads: int, fwd_rows: int,
                 use_prng: bool):
     # One program per (batch row, head group), single q block (dropout seed
-    # stream assumes nq == 1).  `fwd_rows` is the UNPADDED q length the
-    # forward generated keep bits for: the stream must cover exactly
-    # (fwd_rows, Lk) even when this kernel's q block is padded past it
-    # (padded rows only ever see zero cotangents, so their keep=True fill is
-    # harmless).
+    # stream assumes nq == 1).
     bias = mask_ref[0, :, :].astype(jnp.float32) * NEG_INF
     bi, gi = pl.program_id(0), pl.program_id(1)
     for h in range(hb):
         h_abs = gi * hb + h
         sl = slice(h * dh, (h + 1) * dh)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        do = do_ref[0, :, sl]                         # stays bf16
-        scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias
-        # pre-dropout probs; the dropout 1/(1-rate) scale is UNIFORM, so it
-        # rides scalar epilogues (dv output, ds scale) instead of [Lq, Lk]
-        # tile passes
-        pt, rinv = _softmax_parts(scores)
-        p = pt * rinv
-        inv = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
-        if dropout_rate > 0.0:
-            keep = _keep_mask(seed_ref[0], bi, h_abs, n_heads, fwd_rows,
-                              p.shape, dropout_rate, use_prng)
-            p_drop = jnp.where(keep, p, 0.0)
-        else:
-            p_drop = p
-        dv = jax.lax.dot_general(
-            p_drop.astype(do_ref.dtype), do,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dv_ref[0, :, sl] = (dv * inv).astype(dv_ref.dtype) if inv != 1.0 \
-            else dv.astype(dv_ref.dtype)
-        dp = jax.lax.dot_general(
-            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if dropout_rate > 0.0:
-            dp = jnp.where(keep, dp, 0.0)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = (ds * (scale * inv)).astype(q.dtype)
-        dq_ref[0, :, sl] = jax.lax.dot_general(
-            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dq, dk, dv = _head_bwd(
+            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
+            do_ref[0, :, sl], bias, seed_ref[0], bi, h_abs,
+            n_heads=n_heads, fwd_rows=fwd_rows, scale=scale,
+            dropout_rate=dropout_rate, use_prng=use_prng,
+            out_dtype=dq_ref.dtype)
+        dq_ref[0, :, sl] = dq
+        dk_ref[0, :, sl] = dk
+        dv_ref[0, :, sl] = dv
+
+
+def _bwd_kernel_packed(seed_ref, qkv_ref, mask_ref, do_ref, dqkv_ref, *,
+                       scale: float, dropout_rate: float, dh: int, hb: int,
+                       n_heads: int, fwd_rows: int, use_prng: bool):
+    # qkv/dqkv: [1, L, 3*hb*dh] group-interleaved; do: [1, L, hb*dh].  The
+    # packed cotangent leaves the kernel ALREADY concatenated, so the
+    # projection dx is one [*, 3D] x [3D, D] matmul with no stitching.
+    bias = mask_ref[0, :, :].astype(jnp.float32) * NEG_INF
+    bi, gi = pl.program_id(0), pl.program_id(1)
+    w = hb * dh
+    for h in range(hb):
+        h_abs = gi * hb + h
+        sq = slice(h * dh, (h + 1) * dh)
+        sk = slice(w + h * dh, w + (h + 1) * dh)
+        sv = slice(2 * w + h * dh, 2 * w + (h + 1) * dh)
+        dq, dk, dv = _head_bwd(
+            qkv_ref[0, :, sq], qkv_ref[0, :, sk], qkv_ref[0, :, sv],
+            do_ref[0, :, sq], bias, seed_ref[0], bi, h_abs,
+            n_heads=n_heads, fwd_rows=fwd_rows, scale=scale,
+            dropout_rate=dropout_rate, use_prng=use_prng,
+            out_dtype=dqkv_ref.dtype)
+        dqkv_ref[0, :, sq] = dq
+        dqkv_ref[0, :, sk] = dk
+        dqkv_ref[0, :, sv] = dv
 
 
 def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *, n_heads: int,
@@ -296,7 +363,10 @@ def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *, n_heads: int,
     assert nq == 1
     if pad_lq != lq:
         g = jnp.pad(g, ((0, 0), (0, pad_lq - lq), (0, 0)))
-    hb = _head_group(dh, n_heads, max_heads=2)
+    # head-group sweep (BENCHMARKS.md): wider programs amortize per-program
+    # overhead; 6 heads/program is ~5% faster than 2 and stays well inside
+    # scoped VMEM now that the kernel carries fewer fp32 temporaries
+    hb = _head_group(dh, n_heads, max_heads=6)
     seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
     grid = (b, n_heads // hb)
     w = hb * dh
@@ -324,6 +394,157 @@ def _fused_attention_bwd_impl(q, k, v, pad_mask, seed, g, *, n_heads: int,
         interpret=interpret,
     )(seed_arr, q_p, k_p, v_p, mask_p[:, None, :], g)
     return (dq[:, :lq], dk[:, :lk_orig], dv[:, :lk_orig])
+
+
+# ---------------------------------------------------------------------------
+# Packed-QKV self-attention (group-interleaved [B, L, 3D] end to end)
+# ---------------------------------------------------------------------------
+
+def pack_qkv_weights(wq, wk, wv, n_heads: int, hb: int):
+    """[din, D] x3 -> [din, 3D] in the kernels' GROUP-INTERLEAVED column
+    order: for each head group g, [q_g | k_g | v_g] (w = hb*dh columns
+    each).  Used on the projection kernels (and, with zeros, on LoRA B
+    factors) so ONE matmul produces the packed kernel input and the packed
+    backward cotangent feeds ONE dx matmul — no slice/concat traffic, which
+    profiling showed cost ~8% of the train step with a plain [q|k|v]
+    concat layout."""
+    d = wq.shape[-1]
+    dh = d // n_heads
+    w = hb * dh
+    g = n_heads // hb
+    parts = [x.reshape(x.shape[:-1] + (g, w)) for x in (wq, wk, wv)]
+    return jnp.stack(parts, axis=-2).reshape(wq.shape[:-1] + (3 * d,))
+
+
+def _pad_rows(x, rows, value=0):
+    if x.shape[1] == rows:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[1] = (0, rows - x.shape[1])
+    return jnp.pad(x, cfg, constant_values=value)
+
+
+def _fused_attention_fwd_packed_impl(qkv, pad_mask, seed, *, n_heads: int,
+                                     hb: int, dropout_rate: float,
+                                     interpret: bool = False):
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    w = hb * dh
+    g = n_heads // hb
+    scale = 1.0 / math.sqrt(dh)
+    pad_l = -(-l // _LANE) * _LANE
+    if dropout_rate > 0.0:
+        assert pad_l == l, "dropout needs lane-aligned L (stream alignment)"
+    qkv_p = _pad_rows(qkv, pad_l)
+    if pad_mask is None:
+        pad_mask = jnp.zeros((b, l), jnp.int8)
+    mask_p = _pad_rows(pad_mask.astype(jnp.int8)[:, None, :].swapaxes(1, 2),
+                       pad_l, 1).swapaxes(1, 2)
+    seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale,
+                          dropout_rate=dropout_rate, dh=dh, hb=hb,
+                          n_heads=n_heads, use_prng=not interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, g),
+            in_specs=[
+                pl.BlockSpec((1, pad_l, 3 * w), lambda bi, gi, *_: (bi, 0, gi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, pad_l), lambda bi, gi, *_: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, pad_l, w),
+                                   lambda bi, gi, *_: (bi, 0, gi),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, pad_l, d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * pad_l * pad_l * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * n_heads * pad_l * pad_l),
+        interpret=interpret,
+    )(seed_arr, qkv_p, mask_p)
+    return out[:, :l] if pad_l != l else out
+
+
+def _fused_attention_bwd_packed_impl(qkv, pad_mask, seed, g_out, *,
+                                     n_heads: int, hb: int,
+                                     dropout_rate: float,
+                                     interpret: bool = False):
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    w = hb * dh
+    g = n_heads // hb
+    scale = 1.0 / math.sqrt(dh)
+    pad_l = -(-l // _LANE) * _LANE
+    qkv_p = _pad_rows(qkv, pad_l)
+    g_p = _pad_rows(g_out, pad_l)
+    if pad_mask is None:
+        pad_mask = jnp.zeros((b, l), jnp.int8)
+    mask_p = _pad_rows(pad_mask.astype(jnp.int8)[:, None, :].swapaxes(1, 2),
+                       pad_l, 1).swapaxes(1, 2)
+    seed_arr = jnp.asarray([seed if seed is not None else 0], jnp.int32)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale,
+                          dropout_rate=dropout_rate, dh=dh, hb=hb,
+                          n_heads=n_heads, fwd_rows=l,
+                          use_prng=not interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, g),
+            in_specs=[
+                pl.BlockSpec((1, pad_l, 3 * w), lambda bi, gi, *_: (bi, 0, gi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, pad_l), lambda bi, gi, *_: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pad_l, w), lambda bi, gi, *_: (bi, 0, gi),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, pad_l, 3 * w),
+                                   lambda bi, gi, *_: (bi, 0, gi),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, pad_l, d3), qkv.dtype),
+        interpret=interpret,
+    )(seed_arr, qkv_p, mask_p, g_p)
+    return dqkv[:, :l] if pad_l != l else dqkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_packed(qkv, pad_mask=None, seed=None, n_heads: int = 12,
+                           hb: int = 6, dropout_rate: float = 0.0,
+                           interpret: bool = False):
+    """Self-attention over a packed qkv [B, L, 3D] in the group-interleaved
+    layout produced by `pack_qkv_weights` (w = hb*dh columns per projection
+    per group).  Output [B, L, D] in standard head-major layout.  The
+    backward returns the cotangent in the SAME packed layout, so the
+    surrounding projection runs as single [D, 3D] / [3D, D] matmuls with
+    no slice or concat between them and the kernel."""
+    return _fused_attention_fwd_packed_impl(
+        qkv, pad_mask, seed, n_heads=n_heads, hb=hb,
+        dropout_rate=dropout_rate, interpret=interpret)
+
+
+def _vjp_fwd_packed(qkv, pad_mask, seed, n_heads, hb, dropout_rate,
+                    interpret):
+    out = _fused_attention_fwd_packed_impl(
+        qkv, pad_mask, seed, n_heads=n_heads, hb=hb,
+        dropout_rate=dropout_rate, interpret=interpret)
+    return out, (qkv, pad_mask, seed)
+
+
+def _vjp_bwd_packed(n_heads, hb, dropout_rate, interpret, residuals, g):
+    qkv, pad_mask, seed = residuals
+    dqkv = _fused_attention_bwd_packed_impl(
+        qkv, pad_mask, seed, g, n_heads=n_heads, hb=hb,
+        dropout_rate=dropout_rate, interpret=interpret)
+    return dqkv, None, None
+
+
+flash_attention_packed.defvjp(_vjp_fwd_packed, _vjp_bwd_packed)
 
 
 # ---------------------------------------------------------------------------

@@ -173,3 +173,78 @@ def test_hash_dropout_module():
     out3 = mod.apply({}, x, deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(1)})
     assert not np.array_equal(np.asarray(out), np.asarray(out3))
+
+
+# ---------------------------------------------------------------------------
+# packed-qkv path (group-interleaved [B, L, 3D] in, packed cotangent out)
+# ---------------------------------------------------------------------------
+
+def _pack_qkv(q, k, v, hb):
+    from mmoe_multimodal_rec_tpu.ops.flash_attention import pack_qkv_weights
+    # pack along the last dim exactly like the weights are packed
+    return pack_qkv_weights(q, k, v, n_heads=H, hb=hb)
+
+
+@pytest.mark.parametrize("hb,lq", [(4, 384), (2, 256), (4, 197)])
+def test_flash_packed_matches_reference(hb, lq):
+    from mmoe_multimodal_rec_tpu.ops.flash_attention import (
+        flash_attention_packed)
+    b = 2
+    q, k, v = _rand((b, lq, D), 0), _rand((b, lq, D), 1), _rand((b, lq, D), 2)
+    mask = np.zeros((b, lq), np.int8)
+    mask[0, -5:] = 1
+    mask = jnp.asarray(mask)
+    want = _reference_attention(q, k, v, mask, H)
+    got = flash_attention_packed(_pack_qkv(q, k, v, hb), mask, None, H, hb,
+                                 0.0, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_packed_vjp_matches_reference():
+    from mmoe_multimodal_rec_tpu.ops.flash_attention import (
+        flash_attention_packed)
+    b, l, hb = 2, 256, 2
+    q, k, v = _rand((b, l, D), 3), _rand((b, l, D), 4), _rand((b, l, D), 5)
+    mask = jnp.asarray(np.zeros((b, l), np.int8))
+    g = _rand((b, l, D), 6)
+
+    def packed_loss(q, k, v):
+        out = flash_attention_packed(_pack_qkv(q, k, v, hb), mask, None, H,
+                                     hb, 0.0, True)
+        return jnp.sum(out * g)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, mask, H) * g)
+
+    got = jax.grad(packed_loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for gg, ww in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww), atol=3e-4)
+
+
+def test_flash_packed_dropout_matches_masked_einsum_fwd_and_bwd():
+    from mmoe_multimodal_rec_tpu.ops.flash_attention import (
+        flash_attention_packed)
+    b, l, hb, rate, seed = 2, 128, 2, 0.25, 17
+    q, k, v = _rand((b, l, D), 7), _rand((b, l, D), 8), _rand((b, l, D), 9)
+    mask = jnp.asarray(np.zeros((b, l), np.int8))
+    keep = dropout_keep_mask(seed, b, H, l, l, rate)
+    g = _rand((b, l, D), 10)
+
+    def packed_loss(q, k, v):
+        out = flash_attention_packed(_pack_qkv(q, k, v, hb), mask, seed, H,
+                                     hb, rate, True)
+        return jnp.sum(out * g), out
+
+    def ref_loss(q, k, v):
+        out = _reference_attention_with_mask(q, k, v, mask, keep, rate, H)
+        return jnp.sum(out * g), out
+
+    (_, got_out), got = jax.value_and_grad(
+        packed_loss, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    (_, want_out), want = jax.value_and_grad(
+        ref_loss, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               atol=3e-5)
+    for gg, ww in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww), atol=5e-4)
