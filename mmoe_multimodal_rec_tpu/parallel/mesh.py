@@ -77,6 +77,22 @@ def _param_spec(path: Tuple[str, ...], leaf, model_axis: str) -> P:
     return P()  # replicated
 
 
+def _normalize_spec(spec: P, mesh: Mesh) -> P:
+    """Drop size-1 mesh axes and trailing Nones from a PartitionSpec.
+
+    P(None, 'model') on a model=1 mesh places identically to P(), but the
+    compiled step's outputs come back normalized — and pjit caches on the
+    spec OBJECT, so un-normalized input specs made the second train-step
+    call silently recompile the whole program (regression-tested in
+    tests/test_train.py::test_no_recompile_on_second_step)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    parts = [None if (p is not None and sizes.get(p, 0) == 1) else p
+             for p in spec]
+    while parts and parts[-1] is None:
+        parts.pop()
+    return P(*parts)
+
+
 def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Pytree of NamedShardings matching `params` (nested or tuple-key flat)."""
     model_axis = mesh.axis_names[-1]
@@ -88,7 +104,8 @@ def param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
                 p = path + (k if isinstance(k, tuple) else (k,))
                 out[k] = build(v, p)
             return out
-        return NamedSharding(mesh, _param_spec(path, tree, model_axis))
+        return NamedSharding(mesh, _normalize_spec(
+            _param_spec(path, tree, model_axis), mesh))
 
     return build(params)
 

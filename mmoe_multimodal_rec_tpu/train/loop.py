@@ -98,6 +98,19 @@ class Trainer:
         batch_stats = jax.device_put(batch_stats,
                                      jax.tree.map(lambda _: rep, batch_stats))
         opt_state = jax.jit(self.tx.init)(trainable)
+        # Leaves NOT derived from the sharded params (the Adam `count`
+        # scalars) come out of init uncommitted; the compiled step returns
+        # them mesh-committed, so the 2nd step call would see different
+        # input types and silently RECOMPILE the whole program (~minutes at
+        # full size, caught via jax_explain_cache_misses).  Commit them to
+        # the mesh up front.
+        def commit(x):
+            s = getattr(x, "sharding", None)
+            if isinstance(s, jax.sharding.NamedSharding) and \
+                    s.mesh == self.mesh:
+                return x
+            return jax.device_put(x, rep)
+        opt_state = jax.tree.map(commit, opt_state)
         self.state = TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), rep),
             trainable=trainable, frozen=frozen, batch_stats=batch_stats,
@@ -258,9 +271,13 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
     if cfg.train.resume:
         restored, extra = ckpt.restore(trainer.state)
         if restored is not None:
-            # host arrays assigned directly: the compiled step re-places
-            # them per its input shardings on first use
-            trainer.state = restored
+            # re-place restored host arrays with the init state's exact
+            # shardings: a bare assignment would make the first step compile
+            # for uncommitted inputs and the SECOND step recompile for the
+            # mesh-committed outputs (a silent duplicate multi-minute
+            # compile at full size)
+            shardings = jax.tree.map(lambda x: x.sharding, trainer.state)
+            trainer.state = jax.device_put(restored, shardings)
             extra = extra or {}
             start_epoch = int(extra.get("epoch", 0))
             start_opt_step = int(extra.get("opt_step_in_epoch", 0))

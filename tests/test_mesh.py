@@ -43,12 +43,14 @@ def test_param_sharding_rules():
 
     assert spec(("user_expert", "encoder", "layer_0", "attention", "query",
                  "base", "kernel")) == P(None, "model")    # column parallel
+    # row parallel; trailing Nones are normalized away (cache-key hygiene,
+    # parallel/mesh._normalize_spec)
     assert spec(("user_expert", "encoder", "layer_0", "attention", "out",
-                 "kernel")) == P("model", None)            # row parallel
+                 "kernel")) == P("model")
     assert spec(("user_expert", "encoder", "layer_0", "mlp", "fc1",
                  "kernel")) == P(None, "model")
     assert spec(("user_expert", "encoder", "layer_0", "mlp", "fc2",
-                 "kernel")) == P("model", None)
+                 "kernel")) == P("model")
     assert spec(("user_expert", "encoder", "layer_0", "mlp", "fc1",
                  "bias")) == P("model")
     assert spec(("head", "tower_good", "fc1", "kernel")) == P()  # replicated

@@ -280,3 +280,23 @@ def test_topk_gating_trains_end_to_end():
     m = trainer.run_step(stacked)
     assert np.isfinite(float(m["loss"]))
     assert int(m["skipped_micro"]) == 0
+
+
+def test_no_recompile_on_second_step():
+    """The compiled step must be traced exactly ONCE: uncommitted opt-state
+    scalars (or resume-restored host arrays) used to make the 2nd call see
+    different input shardings and silently recompile the whole program —
+    ~8 minutes per occurrence at full size."""
+    from mmoe_multimodal_rec_tpu.train.loop import Trainer, dummy_batch
+
+    cfg = tiny_config()
+    cfg.train.optim.grad_accum = 2
+    trainer = Trainer(cfg)
+    batch = dummy_batch(cfg, batch_size=cfg.train.batch_size)
+    stacked = {k: np.broadcast_to(v, (2,) + v.shape).copy()
+               for k, v in batch.items()}
+    for _ in range(3):
+        m = trainer.run_step(stacked)
+    assert np.isfinite(float(m["loss"]))
+    assert trainer.train_step._cache_size() == 1, \
+        f"step retraced: {trainer.train_step._cache_size()} cache entries"
