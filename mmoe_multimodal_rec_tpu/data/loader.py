@@ -38,13 +38,18 @@ def split_shards(paths: Sequence[str], host_index: int,
 
 def iter_decoded(paths: Sequence[str], *, shuffle: bool = False,
                  shuffle_buffer: int = 512, repeat: bool = False,
-                 seed: int = 0) -> Iterator[dict]:
-    """Stream decoded samples from tar shards."""
+                 seed: int = 0, shard_shuffle: Optional[bool] = None
+                 ) -> Iterator[dict]:
+    """Stream decoded samples from tar shards.  `shard_shuffle` (default:
+    follow `shuffle`) controls shard-ORDER shuffling separately from the
+    sample shuffle buffer (== wds shardshuffle, ref train.py:46)."""
     rng = random.Random(seed)
     epoch = 0
+    if shard_shuffle is None:
+        shard_shuffle = shuffle
     while True:
         shard_order = list(paths)
-        if shuffle:
+        if shard_shuffle:
             rng.shuffle(shard_order)
         buf: List[dict] = []
         for path in shard_order:
@@ -182,14 +187,15 @@ def make_train_loader(shard_paths: Sequence[str], batch_size: int,
                       host_count: int = 1, shuffle_buffer: int = 512,
                       seed: int = 0, chunk_budget: Optional[int] = None,
                       num_prefetch: int = 4, num_threads: int = 2,
-                      skip_batches: int = 0) -> BatchLoader:
+                      skip_batches: int = 0,
+                      shard_shuffle: bool = True) -> BatchLoader:
     """`skip_batches`: deterministic resume fast-forward — the decoded
     sample stream is a pure function of (paths, seed), so skipping
     skip_batches * batch_size samples reproduces the loader position of a
     checkpointed run without re-packing the skipped batches."""
     paths = split_shards(shard_paths, host_index, host_count)
     it = iter_decoded(paths, shuffle=True, shuffle_buffer=shuffle_buffer,
-                      repeat=True, seed=seed)
+                      repeat=True, seed=seed, shard_shuffle=shard_shuffle)
     if skip_batches:
         import itertools
         it = itertools.islice(it, skip_batches * batch_size, None)

@@ -292,6 +292,7 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
         chunk_budget=cfg.model.packer.chunk_budget,
         num_prefetch=cfg.data.num_prefetch,
         num_threads=cfg.data.num_tokenizer_threads,
+        shard_shuffle=cfg.data.shard_shuffle,
         skip_batches=trainer.host_step * cfg.train.optim.grad_accum)
     try:
         return trainer.fit(iter(loader), ckpt=ckpt, start_epoch=start_epoch,
