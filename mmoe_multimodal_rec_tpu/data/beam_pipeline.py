@@ -15,11 +15,10 @@ DAG parity with the reference run():
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, Tuple
+from typing import Iterable
 
 from .features import (attach_meta_to_negatives, causal_pos_neg_for_user,
-                       downsample_by_star, enrich, extract_main_image,
-                       split_by_date)
+                       downsample_by_star, enrich, split_by_date)
 
 
 def _require_beam():

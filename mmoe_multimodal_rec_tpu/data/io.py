@@ -30,7 +30,6 @@ def _fs_for(path: str):
         raise ImportError(
             f"remote path {path!r} needs fsspec (pip install fsspec"
             " gcsfs/s3fs)") from e
-    import fsspec
     fs, _ = fsspec.core.url_to_fs(path)
     return fs
 

@@ -19,7 +19,7 @@ import tarfile
 import uuid
 from typing import Dict, Iterable, Iterator, List, Optional
 
-from .io import fs_makedirs, fs_open, has_scheme
+from .io import fs_makedirs, fs_open
 
 Sample = Dict[str, bytes]  # field name -> raw bytes, plus "__key__" -> str
 
