@@ -138,6 +138,63 @@ def measure_infer(args):
         compile_s
 
 
+def measure_e2e(args):
+    """FULL-SYSTEM throughput: tar shards -> threaded loader (decode +
+    sentence split + tokenize + pack) -> device_prefetch -> train steps.
+    This is the number a real training run sees; comparing it against the
+    device-only train metric proves the host path stays overlapped (the
+    reference's bottleneck was synchronous in-step tokenization,
+    train.py:236-239 / README.md:317)."""
+    import tempfile
+
+    import jax
+    from mmoe_multimodal_rec_tpu.data.loader import (device_prefetch,
+                                                     make_train_loader)
+    from mmoe_multimodal_rec_tpu.data.packer import TextPacker
+    from mmoe_multimodal_rec_tpu.data.native_tokenizer import \
+        load_best_tokenizer
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+    from mmoe_multimodal_rec_tpu.train.loop import (Trainer,
+                                                    stack_micro_batches)
+    from mmoe_multimodal_rec_tpu.parallel.mesh import make_mesh
+
+    cfg = build_config(args, args.variant)
+    with tempfile.TemporaryDirectory() as tmp:
+        paths = write_synthetic_shards(tmp, n_samples=args.batch * 8,
+                                       samples_per_shard=args.batch * 2)
+        tokenizer = load_best_tokenizer(None, cfg.model.text.vocab_size)
+        packer = TextPacker(tokenizer, cfg.model.packer)
+        loader = make_train_loader(
+            paths, args.batch, packer,
+            chunk_budget=cfg.model.packer.chunk_budget,
+            num_prefetch=cfg.data.num_prefetch,
+            num_threads=cfg.data.num_tokenizer_threads)
+        trainer = Trainer(cfg, mesh=make_mesh(cfg.train.mesh,
+                                              devices=jax.devices()[:1]))
+        it = iter(loader)
+
+        def stacked_iter():
+            while True:
+                yield stack_micro_batches(
+                    [next(it) for _ in range(args.accum)])
+
+        staged = device_prefetch(stacked_iter(), n=cfg.data.num_prefetch,
+                                 sharding=trainer._batch_sharding)
+        try:
+            for _ in range(args.warmup):
+                m = trainer.run_step(next(staged), device_resident=True)
+            float(jax.device_get(m["loss"]))
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                m = trainer.run_step(next(staged), device_resident=True)
+            float(jax.device_get(m["loss"]))
+            dt = time.perf_counter() - t0
+        finally:
+            loader.close()
+    examples = args.steps * args.accum * args.batch
+    return examples / dt, dt / args.steps * 1000, 0.0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -150,7 +207,7 @@ def main():
                     help="avg packed chunks/side (review text packs to ~1-2; "
                          "reference cap is 4)")
     ap.add_argument("--mode", type=str, default="all",
-                    choices=["all", "train", "infer"])
+                    choices=["all", "train", "infer", "e2e"])
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--remat-policy", type=str, default="attn",
                     choices=["full", "dots", "attn"])
@@ -179,6 +236,14 @@ def main():
         out = {"metric": ("train_examples_per_sec_per_chip"
                           if args.variant == "baseline" else
                           f"train_{args.variant}_examples_per_sec_per_chip"),
+               "value": round(value, 2), "unit": "examples/sec/chip",
+               "vs_baseline": round(
+                   value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}
+    elif args.mode == "e2e":
+        value, ms, _ = measure_e2e(args)
+        print(f"[bench] e2e {ms:.1f} ms/step (shards->loader->device)",
+              file=sys.stderr)
+        out = {"metric": "train_e2e_examples_per_sec_per_chip",
                "value": round(value, 2), "unit": "examples/sec/chip",
                "vs_baseline": round(
                    value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}
