@@ -195,6 +195,46 @@ def measure_e2e(args):
     return examples / dt, dt / args.steps * 1000, 0.0
 
 
+def run_check(args):
+    """On-device numerics self-check: the packed and split Pallas attention
+    paths must agree bit-exactly on the live backend (the packed path's
+    weight interleaving only executes on real TPU, so CI's interpret-mode
+    tests can't cover the Mosaic-compiled wiring).  The einsum deviation is
+    reported for context — on TPU, XLA lowers fp32 einsums to bf16 MXU
+    passes by default, so the fp32-accumulating kernels are the MORE
+    precise side of that comparison."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mmoe_multimodal_rec_tpu.ops.flash_attention import (
+        _head_group, _reference_attention, flash_attention,
+        flash_attention_packed, pack_qkv_weights)
+    B, L, H, DH = 4, 256, 12, 64
+    D = H * DH
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, L)) < 0.1).astype(np.int8))
+    hb = _head_group(DH, H, 6)
+    qkv = pack_qkv_weights(q, k, v, n_heads=H, hb=hb)
+    split = jax.device_get(jax.jit(
+        lambda q, k, v, m: flash_attention(q, k, v, m, None, H, 0.0))(
+        q, k, v, mask))
+    packed = jax.device_get(jax.jit(
+        lambda qkv, m: flash_attention_packed(qkv, m, None, H, hb, 0.0))(
+        qkv, mask))
+    ein = jax.device_get(jax.jit(
+        lambda q, k, v, m: _reference_attention(q, k, v, m, H))(
+        q, k, v, mask))
+    d_ps = float(np.abs(packed - split).max())
+    d_se = float(np.abs(split - ein).max())
+    assert d_ps == 0.0, f"packed/split kernels disagree: {d_ps}"
+    return {"packed_vs_split_max_abs": d_ps,
+            "kernel_vs_default_precision_einsum_max_abs": d_se,
+            "platform": jax.devices()[0].platform}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -207,7 +247,7 @@ def main():
                     help="avg packed chunks/side (review text packs to ~1-2; "
                          "reference cap is 4)")
     ap.add_argument("--mode", type=str, default="all",
-                    choices=["all", "train", "infer", "e2e"])
+                    choices=["all", "train", "infer", "e2e", "check"])
     ap.add_argument("--platform", type=str, default=None)
     ap.add_argument("--remat-policy", type=str, default="attn",
                     choices=["full", "dots", "attn"])
@@ -239,6 +279,9 @@ def main():
                "value": round(value, 2), "unit": "examples/sec/chip",
                "vs_baseline": round(
                    value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}
+    elif args.mode == "check":
+        out = {"metric": "kernel_numerics_check", "value": 1.0,
+               "unit": "pass", "vs_baseline": 1.0, "extra": run_check(args)}
     elif args.mode == "e2e":
         value, ms, _ = measure_e2e(args)
         print(f"[bench] e2e {ms:.1f} ms/step (shards->loader->device)",
