@@ -308,6 +308,15 @@ def main():
         v_inf, ms_i, c_i = measure_infer(args)
         print(f"[bench] infer b{args.infer_batch}: compile {c_i:.1f}s, "
               f"{ms_i:.1f} ms/step", file=sys.stderr)
+        try:
+            # same compiled program as baseline train (cache hit) + the
+            # real loader; failure-tolerant so IO hiccups can't sink the
+            # whole sweep
+            v_e2e, ms_e, _ = measure_e2e(args)
+            print(f"[bench] e2e train: {ms_e:.1f} ms/step", file=sys.stderr)
+        except Exception as e:   # pragma: no cover
+            print(f"[bench] e2e skipped: {e}", file=sys.stderr)
+            v_e2e = None
         out = {"metric": "train_examples_per_sec_per_chip",
                "value": round(v_base, 2), "unit": "examples/sec/chip",
                "vs_baseline": round(
@@ -316,7 +325,9 @@ def main():
                    "train_home": round(v_home, 2),
                    "infer": round(v_inf, 2),
                    "infer_vs_baseline": round(
-                       v_inf / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}}
+                       v_inf / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
+                   **({"train_e2e": round(v_e2e, 2)}
+                      if v_e2e is not None else {})}}
     print(json.dumps(out))
 
 
