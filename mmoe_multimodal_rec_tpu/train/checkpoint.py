@@ -31,10 +31,21 @@ def _tuplify(d: Dict[str, Any]) -> Dict[Tuple[str, ...], Any]:
 
 
 def state_to_saveable(state, extra: Optional[Dict[str, Any]] = None) -> Dict:
+    """The PERIODIC payload: everything that changes during training.
+
+    The frozen base weights (~1.1 GB of the 1.5 GB state: BERT x2 + ViT)
+    are deliberately NOT here — they never change, so CheckpointManager
+    saves them exactly once per run directory and every periodic
+    checkpoint carries only the ~300 MB that moves (trainable params,
+    optimizer state, BN stats, counters).  Measured on the tunnel-attached
+    chip, re-saving frozen weights made each mid-epoch checkpoint a
+    95-188 s stall; this split makes checkpoint cost proportional to what
+    actually trains.  (The reference re-torch.saves all 13 module
+    state_dicts every epoch, train.py:351-363.)
+    """
     out = {
         "step": state.step,
         "trainable": _stringify(state.trainable),
-        "frozen": _stringify(state.frozen),
         "batch_stats": state.batch_stats or {},
         "opt_state": state.opt_state,
         "extra": extra or {},
@@ -42,18 +53,29 @@ def state_to_saveable(state, extra: Optional[Dict[str, Any]] = None) -> Dict:
     return out
 
 
-def saveable_to_state(saved: Dict, state_template):
+def saveable_to_state(saved: Dict, state_template, frozen=None):
     """Rebuild a TrainState from the saved tree, using the template for
-    structure (opt_state pytree defs)."""
+    structure (opt_state pytree defs).  `frozen` comes from the once-only
+    frozen checkpoint (or, for pre-split checkpoints, from the payload)."""
+    if frozen is None:
+        frozen = saved.get("frozen")
     return state_template.replace(
         step=jax.numpy.asarray(saved["step"]),
         trainable=_tuplify(saved["trainable"]),
-        frozen=_tuplify(saved["frozen"]),
+        frozen=_tuplify(frozen) if frozen is not None
+        else state_template.frozen,
         batch_stats=saved["batch_stats"] or {},
         opt_state=jax.tree.unflatten(
             jax.tree.structure(state_template.opt_state),
             jax.tree.leaves(saved["opt_state"])),
     ), saved.get("extra", {})
+
+
+def _abstract(tree):
+    to_sds = (ocp.utils.to_shape_dtype_struct
+              if hasattr(ocp.utils, "to_shape_dtype_struct")
+              else (lambda x: x))
+    return jax.tree.map(to_sds, tree)
 
 
 class CheckpointManager:
@@ -64,9 +86,16 @@ class CheckpointManager:
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
                                                  create=True))
+        self._frozen_dir = os.path.join(self.directory, "frozen_once")
+        self._frozen_ckptr = ocp.StandardCheckpointer()
 
     def save(self, step: int, state, extra: Optional[Dict] = None,
              wait: bool = False) -> None:
+        if state.frozen and not os.path.exists(self._frozen_dir):
+            # once per run directory: the immutable base weights
+            self._frozen_ckptr.save(self._frozen_dir,
+                                    _stringify(state.frozen))
+            self._frozen_ckptr.wait_until_finished()
         payload = state_to_saveable(state, extra)
         self._mngr.save(step, args=ocp.args.StandardSave(payload))
         if wait:
@@ -75,21 +104,27 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def _restore_frozen(self, state_template):
+        if not os.path.exists(self._frozen_dir):
+            return None
+        abstract = _abstract(_stringify(state_template.frozen))
+        restored = self._frozen_ckptr.restore(self._frozen_dir, abstract)
+        return {k: v for k, v in restored.items()}
+
     def restore(self, state_template, step: Optional[int] = None):
         step = step if step is not None else self.latest_step()
         if step is None:
             return None, None
         template = state_to_saveable(state_template, extra={})
         # restore with abstract template so dtypes/shapes are validated
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct
-                                if hasattr(ocp.utils, "to_shape_dtype_struct")
-                                else (lambda x: x), template)
+        abstract = _abstract(template)
         try:
             saved = self._mngr.restore(
                 step, args=ocp.args.StandardRestore(abstract))
         except Exception:
             saved = self._mngr.restore(step)
-        state, extra = saveable_to_state(saved, state_template)
+        frozen = self._restore_frozen(state_template)
+        state, extra = saveable_to_state(saved, state_template, frozen)
         return state, extra
 
     def close(self):
