@@ -228,15 +228,17 @@ class Trainer:
                     ckpt.save(self.host_step, self.state,
                               extra=self._resume_extra(epoch, opt_step + 1))
             flush()
-            n = max(ep_state["n"], 1)
-            epoch_losses["main"].append(ep_state["main"] / n)
-            epoch_losses["contrastive"].append(ep_state["cl"] / n)
-            epoch_losses["total"].append(
-                (ep_state["main"] + ep_state["cl"]) / n)
-            logger.log({"epoch": epoch, "epoch_loss": epoch_losses["total"][-1]})
-            if ckpt is not None:
-                ckpt.save(self.host_step, self.state,
-                          extra=self._resume_extra(epoch + 1, 0))
+            if ep_state["n"]:    # a resumed, already-complete epoch runs 0
+                n = ep_state["n"]
+                epoch_losses["main"].append(ep_state["main"] / n)
+                epoch_losses["contrastive"].append(ep_state["cl"] / n)
+                epoch_losses["total"].append(
+                    (ep_state["main"] + ep_state["cl"]) / n)
+                logger.log({"epoch": epoch,
+                            "epoch_loss": epoch_losses["total"][-1]})
+                if ckpt is not None:
+                    ckpt.save(self.host_step, self.state,
+                              extra=self._resume_extra(epoch + 1, 0))
         if profiling:
             jax.block_until_ready(self.state.step)
             jax.profiler.stop_trace()
