@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Iterable
 
 from .features import (attach_meta_to_negatives, causal_pos_neg_for_user,
-                       downsample_by_star, enrich, split_by_date)
+                       enrich, split_by_date)
 
 
 def _require_beam():
@@ -36,17 +36,30 @@ def make_dofns():
     """Build the DoFn classes lazily (so importing this module never needs
     beam).  Returns a dict of DoFn classes keyed by stage name."""
     beam = _require_beam()
-    import random
 
     class DownSampleByStar(beam.DoFn):
+        """5-star downsample with a PER-RECORD stable hash keep decision.
+
+        A shared sequential RNG (what the reference's DoFn effectively does,
+        data4moe_beam.py:88-99) makes the kept set depend on runner bundling
+        — non-reproducible across runs and correlated across bundles.  Here
+        keep = crc32(user|asin|timestamp|seed) < rate, so the decision is a
+        pure function of the record: identical on every runner, every bundle
+        split, and every retry.  Same Bernoulli(rate) marginal semantics.
+        """
+
         def __init__(self, rate_5: float = 0.2, seed: int = 0):
             self.rate_5, self.seed = rate_5, seed
 
-        def setup(self):
-            self._rng = random.Random(self.seed)
-
         def process(self, rec):
-            yield from downsample_by_star([rec], self.rate_5, self._rng)
+            import zlib
+            if int(rec.get("rating", 0) or 0) == 5:
+                key = (f"{rec.get('user_id', '')}|{rec.get('asin', '')}|"
+                       f"{rec.get('sort_timestamp', '')}|{self.seed}")
+                h = zlib.crc32(key.encode("utf-8")) / 4294967296.0
+                if h >= self.rate_5:
+                    return
+            yield rec
 
     class Enrich(beam.DoFn):
         def process(self, rev, meta_by_pid):
@@ -95,7 +108,6 @@ def build_pipeline(pipeline, meta_pcoll, review_pcoll, output_prefix: str,
     """
     beam = _require_beam()
     import json
-    import random
     dofns = make_dofns()
 
     meta_kv = (meta_pcoll

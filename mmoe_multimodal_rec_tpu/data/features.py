@@ -62,8 +62,9 @@ def enrich(meta_by_pid: Dict[str, dict],
         if rating is None:
             continue
         ts = rev.get("sort_timestamp")
-        date_str = (datetime.datetime.utcfromtimestamp(ts / 1000).date()
-                    .isoformat() if ts else None)
+        date_str = (datetime.datetime.fromtimestamp(
+            ts / 1000, datetime.timezone.utc).date().isoformat()
+            if ts else None)
         yield {
             "user_id": rev["user_id"],
             "parent_asin": pid,

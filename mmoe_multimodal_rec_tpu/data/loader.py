@@ -140,19 +140,38 @@ class BatchLoader:
                     return
                 batch_samples.append(sample)
                 if len(batch_samples) == self.batch_size:
-                    self._submit(batch_samples, None)
+                    if not self._submit(batch_samples, None):
+                        return
                     batch_samples = []
             if batch_samples and self.partial_batches:
                 n = len(batch_samples)
                 while len(batch_samples) < self.batch_size:
                     batch_samples.append(batch_samples[n - 1])
                 self._submit(batch_samples, n)
-            self._q.put(None)
+            self._put(None)
         except BaseException as e:  # surface reader errors to the consumer
-            self._q.put(e)
+            if not self._stop.is_set():
+                self._put(e)
 
-    def _submit(self, samples: List[dict], n_valid: Optional[int]):
-        self._q.put(self._pool.submit(self._pack, samples, n_valid))
+    def _put(self, item) -> bool:
+        """Queue.put that re-checks the stop flag so close() can't leave the
+        reader thread blocked forever on a full queue."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _submit(self, samples: List[dict], n_valid: Optional[int]) -> bool:
+        if self._stop.is_set():
+            return False
+        try:
+            fut = self._pool.submit(self._pack, samples, n_valid)
+        except RuntimeError:     # pool shut down by a concurrent close()
+            return False
+        return self._put(fut)
 
     def _pack(self, samples: List[dict], n_valid: Optional[int]):
         batch = assemble_batch(samples, self.packer, self.chunk_budget)
@@ -172,6 +191,9 @@ class BatchLoader:
 
     def close(self):
         self._stop.set()
+        # drain so a _put blocked on a full queue wakes and sees _stop; the
+        # reader then exits and can be joined (repeated create/close cycles
+        # in bench sweeps must not leak blocked daemon threads)
         try:
             while True:
                 item = self._q.get_nowait()
@@ -179,6 +201,7 @@ class BatchLoader:
                     item.cancel()
         except queue.Empty:
             pass
+        self._thread.join(timeout=5.0)
         self._pool.shutdown(wait=False, cancel_futures=True)
 
 

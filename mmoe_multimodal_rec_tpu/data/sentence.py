@@ -17,7 +17,8 @@ _ABBREV = {
     "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "inc",
     "ltd", "co", "corp", "dept", "est", "approx", "appt", "apt", "no", "nos",
     "vol", "fig", "sec", "min", "max", "oz", "lb", "lbs", "ft", "in", "cm",
-    "mm", "kg", "km", "hr", "hrs", "mfg", "gov", "edu", "e.g", "i.e", "u.s",
+    "mm", "kg", "km", "hr", "hrs", "yr", "yrs", "wk", "wks", "mfg", "gov",
+    "edu", "e.g", "i.e", "u.s",
     "a.m", "p.m", "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep",
     "sept", "oct", "nov", "dec",
 }

@@ -16,12 +16,17 @@ fp32.  The [L, L] probability matrix never reaches HBM.
 
 These kernels are VPU-bound (the [L, L] fp32 softmax tiles dominate; the
 MXU dots are ~20% of runtime), so the design minimizes per-element VPU work:
-- softmax uses exp(clip(s, ±80)) with NO max-subtraction pass: padded keys
-  carry a -1e9 additive bias so clip keeps them at exp(-80) ≈ 1.8e-35
+- softmax uses exp(clip(s, ±60)) with NO max-subtraction pass: padded keys
+  carry a -1e9 additive bias so clip keeps them at exp(-60) ≈ 8.8e-27
   (vanishing but nonzero — all-masked rows degrade to uniform weights
   instead of NaN, same as the max-shifted form), and |real scores| stay far
-  below 80 for LayerNormed inputs while exp(80)*L < fp32 max rules out
-  overflow;
+  below 60 for LayerNormed inputs (measured |s| < ~30) while
+  384*exp(60)*|v| stays well inside fp32 range.  If trained attention
+  logits ever drift past the clip, probabilities above it flatten silently
+  — set MMOE_SAFE_SOFTMAX=1 (env, read at trace time) to switch every
+  kernel to the exact max-shifted softmax (one extra row-max pass per
+  tile), and tests/test_flash_attention.py::test_safe_softmax_large_scores
+  pins that path's correctness at |s| >> 60;
 - the key-pad mask becomes one additive bias vector per program instead of a
   compare+select per score element;
 - attention-weight dropout (torch MultiheadAttention semantics, used by
@@ -56,6 +61,10 @@ NEG_INF = -1e9
 # LayerNormed scores are |s| < ~30, far inside the clip.
 _CLIP = 60.0
 _LANE = 128
+# Escape hatch for out-of-envelope scores (see module docstring): exact
+# max-shifted softmax in every kernel, traded for one extra row-max pass.
+import os as _os
+SAFE_SOFTMAX = _os.environ.get("MMOE_SAFE_SOFTMAX", "") == "1"
 
 
 def _hash_bits(seed, base, shape):
@@ -106,7 +115,17 @@ def _softmax_parts(scores):
     """Unnormalized softmax: exp(clip(s)) and the per-row reciprocal sum.
     Callers fold `rinv` in where it is cheapest (a [rows, 1]-broadcast
     multiply, or the [rows, dh] output epilogue) instead of paying a
-    per-element divide over the [rows, Lk] tile."""
+    per-element divide over the [rows, Lk] tile.
+
+    Under SAFE_SOFTMAX the exact max-shifted form runs instead (still
+    row-wise unnormalized + rinv, so callers are unchanged); padded keys sit
+    at bias -1e9 and the shift keeps them at exp(<= -1e9+max) == 0 unless
+    the whole row is padded, where the clip keeps uniform-weights
+    degradation identical to the fast path."""
+    if SAFE_SOFTMAX:
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(jnp.clip(scores - m, -_CLIP * 2, 0.0))
+        return p, 1.0 / jnp.sum(p, axis=-1, keepdims=True)
     p = jnp.exp(jnp.clip(scores, -_CLIP, _CLIP))
     return p, 1.0 / jnp.sum(p, axis=-1, keepdims=True)
 

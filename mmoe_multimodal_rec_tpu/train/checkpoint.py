@@ -13,13 +13,37 @@ unbroken one (tested in tests/test_train.py).
 """
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 _SEP = "|"
+
+
+def frozen_fingerprint(frozen: Dict[Tuple[str, ...], Any]) -> str:
+    """Cheap content fingerprint of the frozen base weights: every leaf's
+    (path, shape, dtype) plus a byte-hash of a small deterministic sample of
+    each leaf (first 64 elements).  Catches a swapped pretrained snapshot or
+    changed config without fetching the full ~1.1 GB tree from device."""
+    h = hashlib.sha256()
+    keys = sorted(frozen)
+    # content-sample a bounded subset of leaves (device fetches are ~1.5 ms
+    # each over a tunnel-attached chip; shapes/dtypes cover the rest)
+    stride = max(1, len(keys) // 16)
+    for i, key in enumerate(keys):
+        leaf = frozen[key]
+        h.update(_SEP.join(key).encode())
+        h.update(str(jax.numpy.shape(leaf)).encode())
+        h.update(str(jax.numpy.result_type(leaf)).encode())
+        if i % stride == 0:
+            flat = jax.numpy.ravel(leaf)[:64]
+            h.update(np.asarray(jax.device_get(flat)).tobytes())
+    return h.hexdigest()
 
 
 def _stringify(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
@@ -87,15 +111,43 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
                                                  create=True))
         self._frozen_dir = os.path.join(self.directory, "frozen_once")
+        self._frozen_fp_path = os.path.join(self.directory,
+                                            "frozen_once.fingerprint.json")
         self._frozen_ckptr = ocp.StandardCheckpointer()
+
+    def _check_frozen_fingerprint(self, frozen, *, write_if_missing: bool):
+        """Guard against silently reusing a checkpoint_dir whose frozen_once
+        weights came from a DIFFERENT base snapshot/config: the once-only
+        save is keyed on directory existence, so a stale frozen tree would
+        otherwise load into a same-shaped template with no error."""
+        fp = frozen_fingerprint(frozen)
+        if os.path.exists(self._frozen_fp_path):
+            with open(self._frozen_fp_path) as f:
+                saved = json.load(f)["sha256"]
+            if saved != fp:
+                raise ValueError(
+                    f"frozen base weights do not match the frozen_once "
+                    f"checkpoint already in {self.directory!r} "
+                    f"(saved fingerprint {saved[:12]}..., current "
+                    f"{fp[:12]}...): the base snapshot or config changed. "
+                    f"Use a fresh checkpoint_dir.")
+        elif write_if_missing:
+            with open(self._frozen_fp_path, "w") as f:
+                json.dump({"sha256": fp}, f)
 
     def save(self, step: int, state, extra: Optional[Dict] = None,
              wait: bool = False) -> None:
-        if state.frozen and not os.path.exists(self._frozen_dir):
-            # once per run directory: the immutable base weights
-            self._frozen_ckptr.save(self._frozen_dir,
-                                    _stringify(state.frozen))
-            self._frozen_ckptr.wait_until_finished()
+        if state.frozen:
+            if not os.path.exists(self._frozen_dir):
+                # once per run directory: the immutable base weights
+                self._frozen_ckptr.save(self._frozen_dir,
+                                        _stringify(state.frozen))
+                self._frozen_ckptr.wait_until_finished()
+                self._check_frozen_fingerprint(state.frozen,
+                                               write_if_missing=True)
+            else:
+                self._check_frozen_fingerprint(state.frozen,
+                                               write_if_missing=True)
         payload = state_to_saveable(state, extra)
         self._mngr.save(step, args=ocp.args.StandardSave(payload))
         if wait:

@@ -199,6 +199,7 @@ class Trainer:
             return last
 
         profiling = False
+        exhausted = False
         total_opt_steps = 0
         for epoch in range(start_epoch, epochs):
             ep_state.update(main=0.0, cl=0.0, n=0)
@@ -214,7 +215,16 @@ class Trainer:
                         jax.profiler.stop_trace()
                         profiling = False
                 total_opt_steps += 1
-                metrics = self.run_step(next(staged), device_resident=True)
+                try:
+                    batch = next(staged)
+                except StopIteration:
+                    # Train loaders repeat forever (make_train_loader), but a
+                    # finite stream (eval-style loader, steps_per_epoch over-
+                    # estimate) must end as a clean end-of-data, not a bare
+                    # StopIteration escaping fit().
+                    exhausted = True
+                    break
+                metrics = self.run_step(batch, device_resident=True)
                 meter.update(global_examples)
                 pending.append((self.host_step, metrics))
                 if len(pending) >= cfg.train.log_every:
@@ -239,6 +249,8 @@ class Trainer:
                 if ckpt is not None:
                     ckpt.save(self.host_step, self.state,
                               extra=self._resume_extra(epoch + 1, 0))
+            if exhausted:
+                break
         if profiling:
             jax.block_until_ready(self.state.step)
             jax.profiler.stop_trace()

@@ -50,6 +50,43 @@ def test_flash_all_masked_row_is_finite():
     assert bool(jnp.all(jnp.isfinite(got)))
 
 
+def test_safe_softmax_large_scores(monkeypatch):
+    """MMOE_SAFE_SOFTMAX escape hatch: scores far beyond the fast path's
+    ±60 exp-clip (where the default kernel would silently flatten
+    probabilities) must match the exact max-shifted reference, fwd and bwd."""
+    import importlib
+    fa = importlib.import_module(
+        "mmoe_multimodal_rec_tpu.ops.flash_attention")
+    monkeypatch.setattr(fa, "SAFE_SOFTMAX", True)
+    b, l = 1, 128
+    # scale q so scores reach |s| ~ 200 >> clip
+    q = _rand((b, l, D), 0) * 25.0
+    k, v = _rand((b, l, D), 1), _rand((b, l, D), 2)
+    mask = np.zeros((b, l), np.int8)
+    mask[0, -9:] = 1
+    mask = jnp.asarray(mask)
+    want = _reference_attention(q, k, v, mask, H)
+    got = fa.flash_attention(q, k, v, mask, None, H, 0.0, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
+    # all-pad rows still degrade to finite uniform weights
+    full = jnp.ones((b, l), jnp.int8)
+    assert bool(jnp.all(jnp.isfinite(
+        fa.flash_attention(q, k, v, full, None, H, 0.0, 128, True))))
+
+    def f_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, mask, None, H, 0.0, 128,
+                                          True) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, mask, H) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
 def test_flash_vjp_matches_reference():
     b, l = 1, 128
     q, k, v = _rand((b, l, D), 0), _rand((b, l, D), 1), _rand((b, l, D), 2)

@@ -89,9 +89,11 @@ def test_native_is_faster_than_python(tmp_path, so_path):
 
 def test_native_pack_batch_matches_python_packer(tmp_path):
     """The C++ wp_pack_batch must reproduce the Python TextPacker's outputs
-    (which are themselves golden-tested against reference preprocess_batch)
     bit-for-bit, including the quirks: flush-drop at the chunk cap, OOV/
-    <SENT> clamp, +1 position shift, global budget exhaustion."""
+    <SENT> clamp, +1 position shift, global budget exhaustion.  The Python
+    packer is itself golden-tested against the reference's EXECUTED
+    preprocess_batch in tests/test_packer_golden.py, so this bit-equality
+    transitively pins the C++ path to the reference too."""
     from mmoe_multimodal_rec_tpu.native import build_native
     if build_native() is None:
         pytest.skip("no g++")

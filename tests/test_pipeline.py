@@ -4,6 +4,7 @@ meta+reviews -> features -> text/patch merge -> tar shards -> loader chain."""
 import base64
 import datetime
 import json
+import os
 
 import numpy as np
 import pytest
@@ -379,13 +380,28 @@ def test_tar_shards_roundtrip_remote_scheme():
 
 
 def test_beam_adapter_is_import_gated():
-    from mmoe_multimodal_rec_tpu.data import beam_pipeline
-    try:
-        import apache_beam  # noqa: F401
-        # either real beam, or the tests/util.py reference-exec stub leaked
-        # into sys.modules from an earlier test — gating unobservable
-        pytest.skip("apache_beam importable; gating not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError, match="apache_beam"):
-        beam_pipeline.make_dofns()
+    """Run in a CLEAN subprocess: the in-process version was order-dependent
+    (it self-skipped whenever an earlier test leaked the tests/util.py beam
+    stub into sys.modules) and so validated nothing in a full-suite run."""
+    import subprocess
+    import sys
+    code = (
+        "import pytest, sys\n"
+        "from mmoe_multimodal_rec_tpu.data import beam_pipeline\n"
+        "try:\n"
+        "    import apache_beam\n"
+        "    sys.exit(77)  # real beam installed: gating unobservable\n"
+        "except ImportError:\n"
+        "    pass\n"
+        "try:\n"
+        "    beam_pipeline.make_dofns()\n"
+        "except ImportError as e:\n"
+        "    assert 'apache_beam' in str(e)\n"
+        "    sys.exit(0)\n"
+        "sys.exit(1)\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    if r.returncode == 77:
+        pytest.skip("real apache_beam installed; gating not exercised")
+    assert r.returncode == 0, r.stderr

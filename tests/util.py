@@ -17,7 +17,7 @@ from mmoe_multimodal_rec_tpu.data.wordpiece import HashTokenizer
 from mmoe_multimodal_rec_tpu.data.loader import assemble_batch
 
 __all__ = ["tiny_config", "tiny_tokenizer", "packed_batch", "stacked_batch",
-           "load_reference_module"]
+           "load_reference_module", "HFTokenizerShim"]
 
 REFERENCE_DIR = "/root/reference"
 
@@ -80,6 +80,32 @@ def load_reference_module(filename: str, modname: str = None):
     sys.modules[modname] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+class HFTokenizerShim:
+    """Exactly the HF-tokenizer surface the reference's `preprocess_batch`
+    touches (model.py:36,58-66,99-109), backed by one of our tokenizers
+    (WordPieceTokenizer or HashTokenizer).  `vocab_size` excludes the added
+    <SENT> token and `convert_tokens_to_ids` returns an id == vocab_size,
+    matching `tokenizer.add_tokens(["<SENT>"])` (ref train.py:103) — which is
+    what makes the reference's OOV clamp (model.py:101-109) rewrite every
+    <SENT> marker to [PAD]."""
+
+    def __init__(self, t):
+        self._t = t
+        self.cls_token_id = t.cls_id
+        self.sep_token_id = t.sep_id
+        self.pad_token_id = t.pad_id
+        self.vocab_size = t.vocab_size
+
+    def convert_tokens_to_ids(self, token):
+        assert token == "<SENT>"
+        return self._t.sent_id
+
+    def encode(self, text, add_special_tokens=True, max_length=None,
+               truncation=False):
+        assert add_special_tokens is False and truncation is True
+        return self._t.encode(text, max_length=max_length)
 
 
 def tiny_tokenizer(cfg: Config) -> HashTokenizer:
