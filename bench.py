@@ -99,13 +99,23 @@ def measure_train(args, variant: str):
     float(jax.device_get(m["loss"]))
     compile_s = time.perf_counter() - t_compile
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        m = trainer.run_step(stacked, device_resident=True)
-    float(jax.device_get(m["loss"]))
-    dt = time.perf_counter() - t0
+    # >=3 independent reps: single-shot numbers on a network-tunneled chip
+    # vary by double-digit percent (VERDICT r2 weak#3) — the headline is the
+    # MEDIAN rep, with min/max carried alongside.
     examples = args.steps * args.accum * args.batch
-    return examples / dt, dt / args.steps * 1000, compile_s
+    rates = []
+    for _ in range(max(args.reps, 1)):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            m = trainer.run_step(stacked, device_resident=True)
+        float(jax.device_get(m["loss"]))
+        rates.append(examples / (time.perf_counter() - t0))
+    rates.sort()
+    med = rates[len(rates) // 2]
+    ms = 1000.0 * examples / med / args.steps
+    return med, ms, compile_s, {"reps_min": round(rates[0], 2),
+                                "reps_max": round(rates[-1], 2),
+                                "n_reps": len(rates)}
 
 
 def measure_infer(args):
@@ -129,13 +139,19 @@ def measure_infer(args):
         out = fwd(variables, batch)
     float(jax.device_get(out[0]).sum())
     compile_s = time.perf_counter() - t_compile
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out = fwd(variables, batch)
-    float(jax.device_get(out[0]).sum())
-    dt = time.perf_counter() - t0
-    return args.steps * args.infer_batch / dt, dt / args.steps * 1000, \
-        compile_s
+    examples = args.steps * args.infer_batch
+    rates = []
+    for _ in range(max(args.reps, 1)):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = fwd(variables, batch)
+        float(jax.device_get(out[0]).sum())
+        rates.append(examples / (time.perf_counter() - t0))
+    rates.sort()
+    med = rates[len(rates) // 2]
+    return med, 1000.0 * examples / med / args.steps, compile_s, \
+        {"reps_min": round(rates[0], 2), "reps_max": round(rates[-1], 2),
+         "n_reps": len(rates)}
 
 
 def measure_e2e(args):
@@ -192,7 +208,7 @@ def measure_e2e(args):
         finally:
             loader.close()
     examples = args.steps * args.accum * args.batch
-    return examples / dt, dt / args.steps * 1000, 0.0
+    return examples / dt, dt / args.steps * 1000, 0.0, {}
 
 
 def run_check(args):
@@ -237,10 +253,18 @@ def run_check(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
+    # 64x2 micros = the same 128 examples/optimizer-step as the reference's
+    # b128, but the per-micro activation residency fits the "quant" policy's
+    # int8 saves in HBM (micro=128 needs 19.9G vs 15.75G); the attn-policy
+    # control measured b64a2 == b128a1 exactly (133.3), so accum is free.
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--infer-batch", type=int, default=64)
-    ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--accum", type=int, default=2)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="independent timing reps; headline = median rep "
+                         "(tunnel-attached chips vary double-digit %% "
+                         "shot-to-shot)")
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--variant", type=str, default="baseline")
     ap.add_argument("--chunks-per-sample", type=float, default=2.0,
@@ -249,8 +273,11 @@ def main():
     ap.add_argument("--mode", type=str, default="all",
                     choices=["all", "train", "infer", "e2e", "check"])
     ap.add_argument("--platform", type=str, default=None)
-    ap.add_argument("--remat-policy", type=str, default="attn",
-                    choices=["full", "dots", "attn"])
+    ap.add_argument("--remat-policy", type=str, default="quant",
+                    choices=["full", "dots", "attn", "quant", "quant_fc1"],
+                    help="production default is 'quant' (int8-saved "
+                         "activations; fastest measured — see BENCHMARKS.md "
+                         "round-3 log)")
     args = ap.parse_args()
 
     if args.platform:
@@ -270,7 +297,7 @@ def main():
         pass
 
     if args.mode == "train":
-        value, ms, compile_s = measure_train(args, args.variant)
+        value, ms, compile_s, reps = measure_train(args, args.variant)
         print(f"[bench] compile+warmup {compile_s:.1f}s, {ms:.1f} ms/step",
               file=sys.stderr)
         out = {"metric": ("train_examples_per_sec_per_chip"
@@ -278,12 +305,13 @@ def main():
                           f"train_{args.variant}_examples_per_sec_per_chip"),
                "value": round(value, 2), "unit": "examples/sec/chip",
                "vs_baseline": round(
-                   value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}
+                   value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
+               "extra": {"compile_s": round(compile_s, 1), **reps}}
     elif args.mode == "check":
         out = {"metric": "kernel_numerics_check", "value": 1.0,
                "unit": "pass", "vs_baseline": 1.0, "extra": run_check(args)}
     elif args.mode == "e2e":
-        value, ms, _ = measure_e2e(args)
+        value, ms, _, _ = measure_e2e(args)
         print(f"[bench] e2e {ms:.1f} ms/step (shards->loader->device)",
               file=sys.stderr)
         out = {"metric": "train_e2e_examples_per_sec_per_chip",
@@ -291,28 +319,29 @@ def main():
                "vs_baseline": round(
                    value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}
     elif args.mode == "infer":
-        value, ms, compile_s = measure_infer(args)
+        value, ms, compile_s, reps = measure_infer(args)
         print(f"[bench] compile+warmup {compile_s:.1f}s, {ms:.1f} ms/step",
               file=sys.stderr)
         out = {"metric": "infer_examples_per_sec_per_chip",
                "value": round(value, 2), "unit": "examples/sec/chip",
                "vs_baseline": round(
-                   value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}
+                   value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
+               "extra": {"compile_s": round(compile_s, 1), **reps}}
     else:
-        v_base, ms_b, c_b = measure_train(args, "baseline")
+        v_base, ms_b, c_b, r_b = measure_train(args, "baseline")
         print(f"[bench] baseline train: compile {c_b:.1f}s, {ms_b:.1f} "
               f"ms/step", file=sys.stderr)
-        v_home, ms_h, c_h = measure_train(args, "home")
+        v_home, ms_h, c_h, r_h = measure_train(args, "home")
         print(f"[bench] home train: compile {c_h:.1f}s, {ms_h:.1f} ms/step",
               file=sys.stderr)
-        v_inf, ms_i, c_i = measure_infer(args)
+        v_inf, ms_i, c_i, r_i = measure_infer(args)
         print(f"[bench] infer b{args.infer_batch}: compile {c_i:.1f}s, "
               f"{ms_i:.1f} ms/step", file=sys.stderr)
         try:
             # same compiled program as baseline train (cache hit) + the
             # real loader; failure-tolerant so IO hiccups can't sink the
             # whole sweep
-            v_e2e, ms_e, _ = measure_e2e(args)
+            v_e2e, ms_e, _, _ = measure_e2e(args)
             print(f"[bench] e2e train: {ms_e:.1f} ms/step", file=sys.stderr)
         except Exception as e:   # pragma: no cover
             print(f"[bench] e2e skipped: {e}", file=sys.stderr)
@@ -322,8 +351,16 @@ def main():
                "vs_baseline": round(
                    v_base / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
                "extra": {
+                   "train_min": r_b.get("reps_min"),
+                   "train_max": r_b.get("reps_max"),
+                   "n_reps": r_b.get("n_reps"),
+                   "compile_train_s": round(c_b, 1),
+                   "compile_home_s": round(c_h, 1),
+                   "compile_infer_s": round(c_i, 1),
                    "train_home": round(v_home, 2),
+                   "train_home_min": r_h.get("reps_min"),
                    "infer": round(v_inf, 2),
+                   "infer_min": r_i.get("reps_min"),
                    "infer_vs_baseline": round(
                        v_inf / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
                    **({"train_e2e": round(v_e2e, 2)}

@@ -116,12 +116,16 @@ class ModelConfig:
     use_flash_attention: bool = True # Pallas fused attention on TPU
     remat: bool = False              # jax.checkpoint each encoder layer
                                      # (HBM <-> FLOPs trade, SURVEY build note)
-    remat_policy: str = "attn"       # "full" (recompute all) | "dots" (save
+    remat_policy: str = "quant"      # "full" (recompute all) | "dots" (save
                                      # every dot output; too big at prod
                                      # batch) | "attn" (save the
                                      # post-attention residual only — skips
                                      # the attention-kernel + out-proj
-                                     # recompute; see
+                                     # recompute) | "quant" ("attn" + int8
+                                     # saves of q/k/v + fc1 preact: backward
+                                     # dequantizes instead of recomputing the
+                                     # 7D^2/layer of matmuls — fastest
+                                     # measured, production default; see
                                      # models/layers.resolve_remat_policy)
 
 

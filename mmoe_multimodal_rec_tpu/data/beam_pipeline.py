@@ -21,7 +21,12 @@ from .features import (attach_meta_to_negatives, causal_pos_neg_for_user,
                        enrich, split_by_date)
 
 
-def _require_beam():
+def _require_beam(beam_mod=None):
+    """Resolve the Beam API module: an explicit override (e.g.
+    data.minibeam's eager single-host executor, or a test double) wins,
+    otherwise the real apache_beam."""
+    if beam_mod is not None:
+        return beam_mod
     try:
         import apache_beam as beam
         return beam
@@ -29,13 +34,15 @@ def _require_beam():
         raise ImportError(
             "apache_beam is not installed; use "
             "features.run_feature_pipeline_streaming for single-host runs, "
-            "or pip install apache-beam[gcp] for Dataflow scale-out") from e
+            "run_local (data.minibeam eager executor) to execute this exact "
+            "DAG in-process, or pip install apache-beam[gcp] for Dataflow "
+            "scale-out") from e
 
 
-def make_dofns():
+def make_dofns(beam_mod=None):
     """Build the DoFn classes lazily (so importing this module never needs
     beam).  Returns a dict of DoFn classes keyed by stage name."""
-    beam = _require_beam()
+    beam = _require_beam(beam_mod)
 
     class DownSampleByStar(beam.DoFn):
         """5-star downsample with a PER-RECORD stable hash keep decision.
@@ -99,16 +106,16 @@ def make_dofns():
 def build_pipeline(pipeline, meta_pcoll, review_pcoll, output_prefix: str,
                    train_end: str, valid_end: str, *, neg_k: int = 5,
                    rate_5: float = 0.2, all_pids_sample: int = 10_000,
-                   seed: int = 0):
+                   seed: int = 0, beam_mod=None):
     """Assemble the full DAG on an existing Pipeline (== data4moe_beam.run).
 
     meta_pcoll: PCollection of meta dicts; review_pcoll: review dicts.
     Writes {output_prefix}/{split}/{category}-NNNNN.jsonl via beam's sharded
     text sink.  Returns the tagged (dest, row) PCollection for further use.
     """
-    beam = _require_beam()
+    beam = _require_beam(beam_mod)
     import json
-    dofns = make_dofns()
+    dofns = make_dofns(beam)
 
     meta_kv = (meta_pcoll
                | "MetaKV" >> beam.Map(
@@ -142,6 +149,28 @@ def build_pipeline(pipeline, meta_pcoll, review_pcoll, output_prefix: str,
              lambda dest, lines, prefix=output_prefix:
              _write_dest(prefix, dest, lines)))
     return tagged
+
+
+def run_local(meta_rows: Iterable[dict], review_rows: Iterable[dict],
+              output_prefix: str, train_end: str, valid_end: str, *,
+              neg_k: int = 5, rate_5: float = 0.2,
+              all_pids_sample: int = 10_000, seed: int = 0):
+    """Execute the EXACT Beam DAG in-process via the data.minibeam eager
+    executor — no apache_beam required.  Same outputs as a DirectRunner run
+    of build_pipeline (tested row-identical to features.run_feature_pipeline
+    modulo the documented stable-hash downsample, tests/test_minibeam.py).
+    Returns the tagged (dest, row) pairs."""
+    from . import minibeam
+
+    with minibeam.Pipeline() as p:
+        meta = p | minibeam.Create(meta_rows)
+        reviews = p | minibeam.Create(review_rows)
+        tagged = build_pipeline(
+            p, meta, reviews, output_prefix, train_end, valid_end,
+            neg_k=neg_k, rate_5=rate_5, all_pids_sample=all_pids_sample,
+            seed=seed, beam_mod=minibeam)
+        p.run().wait_until_finish()
+    return tagged.items
 
 
 def _write_dest(prefix: str, dest: str, lines: Iterable[str]) -> str:

@@ -29,6 +29,11 @@ class BertLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # int8-save q/k/v and/or the fc1 preact under the "quant"/"quant_fc1"
+    # remat policies: the backward dequantizes instead of recomputing the
+    # producing matmuls (see models/layers.resolve_remat_policy / quant_save)
+    quant_save_qkv: bool = False
+    quant_save_fc1: bool = False
 
     @nn.compact
     def __call__(self, x: Array, pad_mask: Optional[Array],
@@ -40,6 +45,7 @@ class BertLayer(nn.Module):
                       lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
                       lora_dropout=cfg.lora_dropout,
                       lora_targets=cfg.lora_targets,
+                      quant_save=self.quant_save_qkv,
                       name="attention")(x, x, x, pad_mask,
                                         deterministic=deterministic)
         h = HashDropout(cfg.hidden_dropout)(h, deterministic=deterministic)
@@ -51,6 +57,7 @@ class BertLayer(nn.Module):
         h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=gelu_exact,
                 dropout=0.0, out_dropout=cfg.hidden_dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
+                quant_save=self.quant_save_fc1,
                 name="mlp")(x.astype(self.dtype), deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="output_norm")(x + h.astype(x.dtype))
@@ -99,8 +106,11 @@ class BertEncoder(nn.Module):
             layer_cls = nn.remat(BertLayer, static_argnums=(3,),
                                  policy=resolve_remat_policy(
                                      self.remat_policy))
+        qkv_s = self.remat and self.remat_policy == "quant"
+        fc1_s = self.remat and self.remat_policy in ("quant", "quant_fc1")
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-                          use_flash=self.use_flash,
+                          use_flash=self.use_flash, quant_save_qkv=qkv_s,
+                          quant_save_fc1=fc1_s,
                           name=f"layer_{i}")(x, pad_mask, deterministic)
         return x

@@ -22,6 +22,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as nn
 
 Array = jax.Array
@@ -41,6 +42,12 @@ def resolve_remat_policy(name: str):
       save eliminates the recompute of the attention kernel and the out
       projection — the only recompute left is q/k/v + fc1/fc2, ~35% of a
       full-remat backward's recompute FLOPs at ~1/24 of "dots" memory.
+    - "quant": "attn" plus int8-quantized saves of the q/k/v projections and
+      the fc1 preactivation (see `quant_save`).  Kills the remaining 7D^2 of
+      matmul recompute per layer for ~1/4 the bytes the bf16 tensors would
+      cost; the training forward consumes the dequantized values (per-row
+      symmetric int8, measured logit deviation ~1e-3 — see
+      tests/test_quant_remat.py), gradients flow straight-through.
     """
     if name == "full":
         return None
@@ -48,7 +55,65 @@ def resolve_remat_policy(name: str):
         return jax.checkpoint_policies.dots_saveable
     if name == "attn":
         return jax.checkpoint_policies.save_only_these_names("attn_res")
+    if name == "quant":
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_res", "q_q8", "q_sc", "k_q8", "k_sc", "v_q8", "v_sc",
+            "qkv_q8", "qkv_sc", "fc1_q8", "fc1_sc")
+    if name == "quant_fc1":
+        # fc1-preact-only ablation: per-op trace accounting suggested the
+        # qkv int8 saves were net-negative (54 ms matmul saved vs ~84 ms
+        # quant/dequant fusion cost), but the measured step disagrees —
+        # full "quant" 136.0 ex/s vs "quant_fc1" 134.5 vs "attn" 133.1
+        # (XLA fuses the dequants into consumers better than the isolated
+        # fusion timings imply).  Kept for ablation; production uses "quant"
+        # (BENCHMARKS.md round-3 log).
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_res", "fc1_q8", "fc1_sc")
     raise ValueError(f"unknown remat policy {name!r}")
+
+
+@jax.custom_vjp
+def _value_with_grad_to(value: Array, x: Array) -> Array:
+    """Returns `value`; the cotangent flows UNCHANGED to `x` (straight-
+    through).  `value` receives no cotangent and — crucially for the "quant"
+    remat policy — because the forward is residual-free and `x` is unused in
+    the primal result, the rematerialized backward graph DCEs `x`'s producer
+    (the projection matmul) instead of recomputing it."""
+    return value
+
+
+def _vwgt_fwd(value, x):
+    return value, None
+
+
+def _vwgt_bwd(_, g):
+    return jnp.zeros_like(g), g
+
+
+_value_with_grad_to.defvjp(_vwgt_fwd, _vwgt_bwd)
+
+
+def quant_save(x: Array, name: str) -> Array:
+    """Per-row symmetric int8 quantize -> checkpoint-save -> dequantize.
+
+    Used by the "quant" remat policy: the int8 tensor (+ the fp32 per-row
+    scale) is what jax.checkpoint stores, so the backward pass dequantizes
+    instead of recomputing the producing matmul.  The forward consumes the
+    dequantized value (max per-element error = scale/2 = rowmax/254);
+    gradients pass straight through to the exact pre-quantization value.
+    No-op wiring note: only call this under a remat policy that actually
+    saves "<name>_q8"/"<name>_sc" — otherwise it just injects quantization
+    noise for nothing.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+    x32 = x.astype(jnp.float32)
+    sc = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    sc = jnp.maximum(sc, 1e-12)
+    q8 = checkpoint_name(
+        jnp.round(lax.stop_gradient(x32) / sc).astype(jnp.int8), name + "_q8")
+    sc = checkpoint_name(lax.stop_gradient(sc), name + "_sc")
+    deq = (q8.astype(jnp.float32) * sc).astype(x.dtype)
+    return _value_with_grad_to(deq, x)
 
 
 def gelu_exact(x: Array) -> Array:
@@ -230,6 +295,9 @@ class Attention(nn.Module):
     lora_alpha: float = 32.0
     lora_dropout: float = 0.1
     lora_targets: tuple = ("query", "value")
+    # int8-save the q/k/v projections for the "quant" remat policy (training
+    # only — the saves are dead weight without that policy).
+    quant_save: bool = False
 
     @nn.compact
     def __call__(self, query: Array, key: Array, value: Array,
@@ -288,6 +356,8 @@ class Attention(nn.Module):
             w_g = pack(pq[0], pk[0], pv[0]).astype(self.dtype)
             b_g = pack(pq[1], pk[1], pv[1]).astype(self.dtype)
             qkv = query.astype(self.dtype) @ w_g + b_g
+            if self.quant_save and not deterministic:
+                qkv = quant_save(qkv, "qkv")
             seed = None
             if rate > 0.0:
                 # in-kernel dropout; fwd/bwd kernels share this seed
@@ -307,6 +377,10 @@ class Attention(nn.Module):
             q = project(query, pq)
             k = project(key, pk)
             v = project(value, pv)
+            if self.quant_save and not deterministic:
+                q = quant_save(q, "q")
+                k = quant_save(k, "k")
+                v = quant_save(v, "v")
 
             if self.use_flash and _flash_ok(q, head_dim, rate):
                 from ..ops.flash_attention import flash_attention
@@ -348,11 +422,15 @@ class Mlp(nn.Module):
     out_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # int8-save the fc1 preactivation for the "quant" remat policy
+    quant_save: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
         x = nn.Dense(self.hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
+        if self.quant_save and not deterministic:
+            x = quant_save(x, "fc1")
         x = self.activation(x)
         x = HashDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.out, dtype=self.dtype,

@@ -28,6 +28,11 @@ class ViTLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # int8-save qkv and/or fc1 preact under the "quant"/"quant_fc1" remat
+    # policies (only the HoME variant trains ViT layers; frozen layers DCE
+    # their backward)
+    quant_save_qkv: bool = False
+    quant_save_fc1: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -37,6 +42,7 @@ class ViTLayer(nn.Module):
         h = Attention(cfg.num_heads, dropout=cfg.attention_dropout,
                       use_flash=self.use_flash, dtype=self.dtype,
                       param_dtype=self.param_dtype,
+                      quant_save=self.quant_save_qkv,
                       name="attention")(h.astype(self.dtype), h.astype(self.dtype),
                                         h.astype(self.dtype), None,
                                         deterministic=deterministic)
@@ -48,6 +54,7 @@ class ViTLayer(nn.Module):
         h = Mlp(cfg.intermediate_size, cfg.hidden_size, activation=gelu_exact,
                 dropout=cfg.hidden_dropout, out_dropout=cfg.hidden_dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
+                quant_save=self.quant_save_fc1,
                 name="mlp")(h.astype(self.dtype), deterministic=deterministic)
         return x + h.astype(x.dtype)
 
@@ -88,9 +95,12 @@ class ViTEncoder(nn.Module):
             layer_cls = nn.remat(ViTLayer, static_argnums=(2,),
                                  policy=resolve_remat_policy(
                                      self.remat_policy))
+        qkv_s = self.remat and self.remat_policy == "quant"
+        fc1_s = self.remat and self.remat_policy in ("quant", "quant_fc1")
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-                          use_flash=self.use_flash,
+                          use_flash=self.use_flash, quant_save_qkv=qkv_s,
+                          quant_save_fc1=fc1_s,
                           name=f"layer_{i}")(x, deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="final_norm")(x)

@@ -67,6 +67,33 @@ def test_batch_shardings_accum_layout():
     assert sh["label_good"].spec == P(None, "data")
 
 
+def test_pure_dp_single_gradient_allreduce_per_step():
+    """The DDP no_sync analogue (ref train.py:266-277): under pure data
+    parallelism, gradient-sized collectives must sit OUTSIDE the grad-accum
+    scan's while body — one all-reduce (or reduce-scatter) family per
+    optimizer step, never per micro-batch.  Parses the compiled HLO with the
+    same helper the driver's dryrun uses, so a regression fails in both."""
+    from __graft_entry__ import _parse_hlo_collectives
+    from mmoe_multimodal_rec_tpu.train.loop import Trainer
+    from util import stacked_batch
+
+    cfg = tiny_config("baseline", batch_size=8, accum=2, data_parallel=8,
+                      model_parallel=1)
+    trainer = Trainer(cfg)
+    batch = stacked_batch(cfg, seed=0)
+    staged = jax.device_put(batch, trainer._batch_sharding)
+    sub = jax.random.fold_in(trainer._dropout_rng, 0)
+    hlo = trainer.train_step.lower(trainer.state, staged, sub) \
+        .compile().as_text()
+    comps, while_bodies = _parse_hlo_collectives(hlo)
+    big = 1024  # elements; metric scalars are exempt
+    in_loop = [c for b in while_bodies for c in comps.get(b, []) if c[1] > big]
+    assert not in_loop, in_loop
+    outside = [c for name, cs in comps.items() if name not in while_bodies
+               for c in cs if c[1] > big]
+    assert outside
+
+
 def test_tp_mesh_numerically_matches_dp_only():
     """Same tiny model, same batch: a 2x2 DPxTP mesh must produce the same
     loss as a 4x1 pure-DP mesh (XLA collectives are numerically exact here

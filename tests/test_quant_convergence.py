@@ -1,0 +1,52 @@
+"""Convergence half of the "quant" remat-policy study (VERDICT r2 next#1):
+training under int8-saved activations must track exact-"attn" training.
+
+Runs the REAL Trainer (scan-accumulated step, optimizer groups, NaN guard)
+for a short schedule under both policies from identical init/rng/data and
+asserts the loss trajectories stay within a small relative envelope and both
+decrease.  At tiny width (d=32) the per-row int8 error (~0.4% of row max) is
+proportionally LARGER than at d=768, so this bound is conservative for the
+production model.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+
+from mmoe_multimodal_rec_tpu.config import tiny_config
+from mmoe_multimodal_rec_tpu.data.loader import assemble_batch
+from mmoe_multimodal_rec_tpu.data.packer import TextPacker
+from mmoe_multimodal_rec_tpu.data.synthetic import synthetic_raw_batch
+from mmoe_multimodal_rec_tpu.data.wordpiece import HashTokenizer
+from mmoe_multimodal_rec_tpu.parallel.mesh import make_mesh
+from mmoe_multimodal_rec_tpu.train.loop import Trainer, stack_micro_batches
+
+
+def _run(policy: str, n_steps: int = 8):
+    cfg = tiny_config("baseline", batch_size=4, accum=2, data_parallel=1)
+    cfg.model.remat = True
+    cfg.model.remat_policy = policy
+    mesh = make_mesh(cfg.train.mesh, devices=jax.devices()[:1])
+    trainer = Trainer(cfg, mesh=mesh)
+    packer = TextPacker(HashTokenizer(vocab_size=cfg.model.text.vocab_size - 1),
+                        cfg.model.packer)
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(n_steps):
+        micros = [assemble_batch(synthetic_raw_batch(rng, 4), packer)
+                  for _ in range(2)]
+        m = trainer.run_step(stack_micro_batches(micros))
+        losses.append(float(jax.device_get(m["loss"])))
+    return losses
+
+
+def test_quant_training_tracks_exact():
+    la = _run("attn")
+    lq = _run("quant")
+    la, lq = np.asarray(la), np.asarray(lq)
+    # identical data/rng/init: trajectories must stay close step-by-step
+    rel = np.abs(la - lq) / np.maximum(np.abs(la), 1e-3)
+    assert rel.max() < 0.05, (la.tolist(), lq.tolist())
+    # and both must actually learn (tail below head)
+    assert lq[-3:].mean() < lq[:3].mean() + 1e-3
