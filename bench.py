@@ -128,12 +128,24 @@ def measure_infer(args):
     model = MMoERecModel(cfg.model)
     batch = random_batch(cfg, 0)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    if args.merge_lora and cfg.model.text.lora_rank > 0:
+        # serving path: LoRA folded into the base kernels (exact at
+        # deterministic inference) -> packed-qkv kernel path
+        from mmoe_multimodal_rec_tpu.utils.lora import (merge_lora,
+                                                        merged_model_config)
+        variables = {"params": merge_lora(variables["params"],
+                                          cfg.model.text.lora_alpha)}
+        model = MMoERecModel(merged_model_config(cfg.model))
 
     @jax.jit
     def fwd(variables, batch):
         out = model.apply(variables, batch, deterministic=True)
         return out.logit_good, out.logit_best
 
+    # stage the batch on device ONCE: without this every dispatch re-ships
+    # ~10 MB over the tunnel and the measurement tracks link bandwidth, not
+    # chip throughput (the host->device leg is what `--mode e2e` measures)
+    batch = jax.device_put(batch)
     t_compile = time.perf_counter()
     for _ in range(args.warmup):
         out = fwd(variables, batch)
@@ -185,6 +197,24 @@ def measure_e2e(args):
             chunk_budget=cfg.model.packer.chunk_budget,
             num_prefetch=cfg.data.num_prefetch,
             num_threads=cfg.data.num_tokenizer_threads)
+        # host-only leg: drain the threaded loader with no device in the
+        # loop — separates pack/decode cost from transfer+compute so the
+        # "host work stays overlapped" claim has a measured basis per run.
+        host_it = iter(loader)
+        for _ in range(args.accum * args.warmup):
+            next(host_it)
+        t0 = time.perf_counter()
+        host_batches = args.steps * args.accum
+        for _ in range(host_batches):
+            next(host_it)
+        host_rate = host_batches * args.batch / (time.perf_counter() - t0)
+        loader.close()
+
+        loader = make_train_loader(
+            paths, args.batch, packer,
+            chunk_budget=cfg.model.packer.chunk_budget,
+            num_prefetch=cfg.data.num_prefetch,
+            num_threads=cfg.data.num_tokenizer_threads)
         trainer = Trainer(cfg, mesh=make_mesh(cfg.train.mesh,
                                               devices=jax.devices()[:1]))
         it = iter(loader)
@@ -208,7 +238,8 @@ def measure_e2e(args):
         finally:
             loader.close()
     examples = args.steps * args.accum * args.batch
-    return examples / dt, dt / args.steps * 1000, 0.0, {}
+    return examples / dt, dt / args.steps * 1000, 0.0, \
+        {"host_pack_examples_per_sec": round(host_rate, 2)}
 
 
 def run_check(args):
@@ -273,6 +304,10 @@ def main():
     ap.add_argument("--mode", type=str, default="all",
                     choices=["all", "train", "infer", "e2e", "check"])
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--merge-lora", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="inference: fold LoRA into base kernels (the "
+                         "serving default, utils/lora.py)")
     ap.add_argument("--remat-policy", type=str, default="quant",
                     choices=["full", "dots", "attn", "quant", "quant_fc1"],
                     help="production default is 'quant' (int8-saved "
@@ -311,13 +346,14 @@ def main():
         out = {"metric": "kernel_numerics_check", "value": 1.0,
                "unit": "pass", "vs_baseline": 1.0, "extra": run_check(args)}
     elif args.mode == "e2e":
-        value, ms, _, _ = measure_e2e(args)
+        value, ms, _, r_e = measure_e2e(args)
         print(f"[bench] e2e {ms:.1f} ms/step (shards->loader->device)",
               file=sys.stderr)
         out = {"metric": "train_e2e_examples_per_sec_per_chip",
                "value": round(value, 2), "unit": "examples/sec/chip",
                "vs_baseline": round(
-                   value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3)}
+                   value / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
+               "extra": r_e}
     elif args.mode == "infer":
         value, ms, compile_s, reps = measure_infer(args)
         print(f"[bench] compile+warmup {compile_s:.1f}s, {ms:.1f} ms/step",
@@ -341,11 +377,12 @@ def main():
             # same compiled program as baseline train (cache hit) + the
             # real loader; failure-tolerant so IO hiccups can't sink the
             # whole sweep
-            v_e2e, ms_e, _, _ = measure_e2e(args)
+            v_e2e, ms_e, _, r_e = measure_e2e(args)
             print(f"[bench] e2e train: {ms_e:.1f} ms/step", file=sys.stderr)
         except Exception as e:   # pragma: no cover
             print(f"[bench] e2e skipped: {e}", file=sys.stderr)
             v_e2e = None
+            r_e = {}
         out = {"metric": "train_examples_per_sec_per_chip",
                "value": round(v_base, 2), "unit": "examples/sec/chip",
                "vs_baseline": round(
@@ -363,7 +400,7 @@ def main():
                    "infer_min": r_i.get("reps_min"),
                    "infer_vs_baseline": round(
                        v_inf / REFERENCE_EXAMPLES_PER_SEC_PER_CHIP, 3),
-                   **({"train_e2e": round(v_e2e, 2)}
+                   **({"train_e2e": round(v_e2e, 2), **r_e}
                       if v_e2e is not None else {})}}
     print(json.dumps(out))
 

@@ -236,10 +236,15 @@ def cmd_synth(argv: List[str]) -> int:
     ap.add_argument("--samples", type=int, default=1024)
     ap.add_argument("--samples-per-shard", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--signal", action="store_true",
+                    help="plant an 85%%-correlated sentiment cue in the "
+                         "user text so label_good is learnable from text "
+                         "(convergence/e2e-learning runs)")
     args = ap.parse_args(argv)
     from .data.synthetic import write_synthetic_shards
     paths = write_synthetic_shards(args.output, args.samples,
-                                   args.samples_per_shard, args.seed)
+                                   args.samples_per_shard, args.seed,
+                                   signal=args.signal)
     print(json.dumps({"shards": len(paths)}))
     return 0
 

@@ -36,8 +36,16 @@ def random_text(rng: np.random.Generator, n_sents_lo: int = 1,
     return " ".join(random_sentence(rng) for _ in range(n))
 
 
+# Sentiment cues for `signal=True` corpora: label_good correlates with which
+# cue sentence appears in the USER text, so a model that actually reads the
+# text can beat the label marginal (demonstrated in the e2e convergence run,
+# BENCHMARKS.md) while a broken pipeline cannot.
+_POS_CUE = "Great quality highly recommend works perfectly."
+_NEG_CUE = "Broken zipper damaged return refund disappointed."
+
+
 def make_sample(rng: np.random.Generator, idx: int,
-                p_image: float = 0.8) -> dict:
+                p_image: float = 0.8, signal: bool = False) -> dict:
     has_image = int(rng.random() < p_image)
     if has_image:
         patch = rng.integers(0, 256, (196, 3, 16, 16), dtype=np.uint8)
@@ -46,11 +54,21 @@ def make_sample(rng: np.random.Generator, idx: int,
         # reference zero filler is 2x the real patch size
         # (data4model.py:214-217) — never read because has_image=0.
         patch_bytes = b"\x00" * (196 * 3 * 16 * 16 * 2)
-    label_good = int(rng.random() < 0.5)
+    user_text = random_text(rng, 2, 10)
+    if signal:
+        # plant a readable cue: 85%-correlated sentiment sentence
+        label_good = int(rng.random() < 0.5)
+        cue = _POS_CUE if (label_good == (rng.random() < 0.85)) else _NEG_CUE
+        sents = [s if s.endswith(".") else s + "."
+                 for s in user_text.split(". ") if s]
+        k = int(rng.integers(0, len(sents) + 1))
+        user_text = " ".join(sents[:k] + [cue] + sents[k:])
+    else:
+        label_good = int(rng.random() < 0.5)
     label_best = int(label_good and rng.random() < 0.4)
     return {
         "__key__": f"user{idx % 97}-item{idx}-{idx:06x}",
-        "user.json": random_text(rng, 2, 10).encode(),
+        "user.json": user_text.encode(),
         "item.json": random_text(rng, 2, 10).encode(),
         "patch.bin": patch_bytes,
         "misc.json": json.dumps({"has_image": has_image,
@@ -63,11 +81,12 @@ def make_sample(rng: np.random.Generator, idx: int,
 def write_synthetic_shards(output_dir: str, n_samples: int = 256,
                            samples_per_shard: int = 64,
                            seed: int = 0, p_image: float = 0.8,
-                           compress: bool = True) -> List[str]:
+                           compress: bool = True,
+                           signal: bool = False) -> List[str]:
     rng = np.random.default_rng(seed)
     with ShardWriter(output_dir, samples_per_shard, compress=compress) as w:
         for i in range(n_samples):
-            w.write(make_sample(rng, i, p_image))
+            w.write(make_sample(rng, i, p_image, signal=signal))
     return w.paths
 
 

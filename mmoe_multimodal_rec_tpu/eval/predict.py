@@ -27,14 +27,22 @@ from ..train.optimizer import merge_params
 class Predictor:
     def __init__(self, cfg: Config, trainable, frozen, batch_stats=None,
                  batch_size: Optional[int] = None,
-                 tokenizer=None):
+                 tokenizer=None, merge_lora: bool = True):
+        """merge_lora: fold the trained LoRA adapters into the base kernels
+        (exact at deterministic inference — utils/lora.py) so the text
+        attention layers take the packed-qkv kernel path."""
         self.cfg = cfg
-        self.model = MMoERecModel(cfg.model)
+        model_cfg = cfg.model
         self.batch_size = batch_size or cfg.train.batch_size
         self.packer = TextPacker(
             tokenizer or load_best_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size),
             cfg.model.packer)
         params = merge_params(trainable, frozen)
+        if merge_lora and cfg.model.text.lora_rank > 0:
+            from ..utils.lora import merge_lora as _merge, merged_model_config
+            params = _merge(params, cfg.model.text.lora_alpha)
+            model_cfg = merged_model_config(cfg.model)
+        self.model = MMoERecModel(model_cfg)
         self._variables = {"params": params}
         if batch_stats:
             self._variables["batch_stats"] = batch_stats

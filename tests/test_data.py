@@ -42,6 +42,26 @@ def test_shard_writer_splits(tmp_path):
     assert counts == [4, 4, 2]
 
 
+def test_signal_corpus_plants_learnable_cue():
+    """`synth --signal`: the sentiment cue sentence must agree with
+    label_good ~85% of the time (the e2e convergence run trains on this)."""
+    import json
+    from mmoe_multimodal_rec_tpu.data.synthetic import _POS_CUE
+    rng = np.random.default_rng(0)
+    agree = labels = 0
+    n = 400
+    for i in range(n):
+        s = make_sample(rng, i, signal=True)
+        lab = json.loads(s["label.json"])["label_good"]
+        labels += lab
+        agree += int((_POS_CUE.encode() in s["user.json"]) == bool(lab))
+    assert 0.4 < labels / n < 0.6          # marginal stays ~0.5
+    assert 0.8 < agree / n < 0.9           # cue is informative, not perfect
+    # default corpus stays cue-free
+    s = make_sample(np.random.default_rng(1), 0)
+    assert _POS_CUE.encode() not in s["user.json"]
+
+
 # ---------------------------------------------------------------------------
 # decode_sample guards (ref model.py:127-189)
 # ---------------------------------------------------------------------------
