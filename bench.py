@@ -47,6 +47,7 @@ def build_config(args, variant: str):
     cfg.train.batch_size = args.batch
     cfg.train.optim.grad_accum = args.accum
     cfg.model.packer.chunk_budget = int(args.batch * args.chunks_per_sample)
+    cfg.model.text.scan_layers = args.scan_layers
     cfg.train.mesh.data_parallel = 1
     cfg.train.mesh.model_parallel = 1
     return cfg
@@ -304,6 +305,11 @@ def main():
     ap.add_argument("--mode", type=str, default="all",
                     choices=["all", "train", "infer", "e2e", "check"])
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--scan-layers", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="lax.scan the text-encoder layers (one compiled "
+                         "body, stacked params) — same math, much faster "
+                         "cold compile; see config.TextEncoderConfig")
     ap.add_argument("--merge-lora", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="inference: fold LoRA into base kernels (the "
@@ -323,8 +329,8 @@ def main():
     # multi-minute XLA compile when the program is unchanged
     import os
     import sys
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    cache_dir = os.environ.get("BENCH_JAX_CACHE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

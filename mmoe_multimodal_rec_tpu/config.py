@@ -31,6 +31,18 @@ class TextEncoderConfig:
     pad_token_id: int = 0
     # LoRA (ref model.py:592-599: r=8, alpha=32, dropout=0.1 on query/value)
     lora_rank: int = 8
+    # lax.scan ONE compiled layer body over stacked [num_layers, ...] params
+    # instead of unrolling num_layers copies into the HLO: identical math
+    # (tests/test_scan_layers.py), measured 1.9x faster cold compile of the
+    # flagship train step (302 -> 162 s) at a 20% step-time cost (136 ->
+    # 109 ex/s — scan serializes the per-layer weight slices XLA otherwise
+    # prefetches across layers); an edit-compile-run iteration knob, NOT the
+    # production default (BENCHMARKS.md "Compile time").  Param layout
+    # changes to `encoder/layers/layer/...`; utils/scan_convert.py converts
+    # existing unrolled checkpoints.  Text encoders only — the HoME ViT
+    # keeps its unrolled layout because its last-2-layers finetune partition
+    # (train/optimizer.label_param) splits at layer granularity.
+    scan_layers: bool = False
     lora_alpha: float = 32.0
     lora_dropout: float = 0.1
     lora_targets: Tuple[str, ...] = ("query", "value")

@@ -63,6 +63,30 @@ class BertLayer(nn.Module):
                             name="output_norm")(x + h.astype(x.dtype))
 
 
+class _ScanBertLayer(nn.Module):
+    """nn.scan body: BertLayer with the (carry, ()) signature scan wants.
+    The inner scope is named "layer", so stacked params live at
+    `encoder/layers/layer/...` with a leading [num_layers] axis
+    (utils/scan_convert.py translates to/from the unrolled
+    `encoder/layer_{i}/...` layout)."""
+    cfg: TextEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+    quant_save_qkv: bool = False
+    quant_save_fc1: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, pad_mask: Optional[Array],
+                 deterministic: bool = True):
+        y = BertLayer(self.cfg, dtype=self.dtype,
+                      param_dtype=self.param_dtype, use_flash=self.use_flash,
+                      quant_save_qkv=self.quant_save_qkv,
+                      quant_save_fc1=self.quant_save_fc1,
+                      name="layer")(x, pad_mask, deterministic)
+        return y, ()
+
+
 class BertEncoder(nn.Module):
     """[N, L] token ids -> [N, L, D] hidden states (== last_hidden_state)."""
     cfg: TextEncoderConfig
@@ -101,13 +125,35 @@ class BertEncoder(nn.Module):
         x = x.astype(self.dtype)
         # jax.checkpoint per layer trades recompute for HBM when training
         # full-size encoders; see resolve_remat_policy for the policies.
+        qkv_s = self.remat and self.remat_policy == "quant"
+        fc1_s = self.remat and self.remat_policy in ("quant", "quant_fc1")
+        if cfg.scan_layers:
+            # ONE compiled layer body driven by lax.scan over stacked
+            # [num_layers, ...] params, instead of num_layers unrolled
+            # copies: same math (tests/test_scan_layers.py asserts logit
+            # equality vs the unrolled encoder on converted params), much
+            # smaller HLO -> faster cold compile.  remat composes: the
+            # policy's named saves ("attn_res", "*_q8"/"*_sc") apply per
+            # scan iteration.
+            body = _ScanBertLayer
+            if self.remat:
+                body = nn.remat(_ScanBertLayer, static_argnums=(3,),
+                                policy=resolve_remat_policy(
+                                    self.remat_policy))
+            scan = nn.scan(body, variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True},
+                           in_axes=(nn.broadcast, nn.broadcast),
+                           length=cfg.num_layers)
+            x, _ = scan(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                        use_flash=self.use_flash, quant_save_qkv=qkv_s,
+                        quant_save_fc1=fc1_s,
+                        name="layers")(x, pad_mask, deterministic)
+            return x
         layer_cls = BertLayer
         if self.remat:
             layer_cls = nn.remat(BertLayer, static_argnums=(3,),
                                  policy=resolve_remat_policy(
                                      self.remat_policy))
-        qkv_s = self.remat and self.remat_policy == "quant"
-        fc1_s = self.remat and self.remat_policy in ("quant", "quant_fc1")
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash, quant_save_qkv=qkv_s,

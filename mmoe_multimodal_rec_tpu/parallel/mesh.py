@@ -62,18 +62,26 @@ def _param_spec(path: Tuple[str, ...], leaf, model_axis: str) -> P:
     def row(kern):  # row-parallel Dense (bias replicated; psum after matmul)
         return P(model_axis, None) if kern == "kernel" else P(None)
 
+    def stacked(spec: P) -> P:
+        # scan_layers stacks params with a leading [num_layers] axis
+        # ("layers" scan scope, models/bert.py) — shift the TP spec right by
+        # one; the layer axis itself is never sharded.
+        if "layers" in path and len(spec) > 0:
+            return P(None, *spec)
+        return spec
+
     if name in ("kernel", "bias"):
         if parent in _COL_PARALLEL or (parent == "base" and
                                        gparent in _COL_PARALLEL):
-            return col(name)
+            return stacked(col(name))
         if parent in _ROW_PARALLEL:
-            return row(name)
+            return stacked(row(name))
         if parent == "fc1" and gparent == "mlp":
-            return col(name)
+            return stacked(col(name))
         if parent == "fc2" and gparent == "mlp":
-            return row(name)
+            return stacked(row(name))
     if name == "lora_b" and parent in _COL_PARALLEL:
-        return P(None, model_axis)
+        return stacked(P(None, model_axis))
     return P()  # replicated
 
 

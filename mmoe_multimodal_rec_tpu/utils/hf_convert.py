@@ -396,4 +396,9 @@ def convert_reference_checkpoint(ckpt: Mapping, model_cfg,
         params["img_expert"] = convert_image_expert(ckpt["img"],
                                                     model_cfg.image)
         params["head"] = convert_two_task_head(ckpt["head"])
+    if getattr(model_cfg.text, "scan_layers", False):
+        # scan-layers layout: stack encoder/layer_{i} into
+        # encoder/layers/layer with a leading [num_layers] axis
+        from .scan_convert import stack_layers
+        params = stack_layers(params)
     return params, (stats or None)
