@@ -37,6 +37,7 @@ from ..utils.metrics import MetricsLogger, Throughput
 from ..utils.plotting import plot_epoch_losses, plot_loss_curves
 from .checkpoint import CheckpointManager
 from .optimizer import make_optimizer, label_param, split_trainable
+from .preemption import PreemptionGuard
 from .step import TrainState, init_model_variables, make_train_step
 
 
@@ -145,7 +146,8 @@ class Trainer:
             steps_per_epoch: Optional[int] = None,
             logger: Optional[MetricsLogger] = None,
             ckpt: Optional[CheckpointManager] = None,
-            start_epoch: int = 0, start_opt_step: int = 0) -> Dict[str, Any]:
+            start_epoch: int = 0, start_opt_step: int = 0,
+            preempt: Optional["PreemptionGuard"] = None) -> Dict[str, Any]:
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.train.epochs
         accum = cfg.train.optim.grad_accum
@@ -200,11 +202,24 @@ class Trainer:
 
         profiling = False
         exhausted = False
+        preempted = False
         total_opt_steps = 0
         for epoch in range(start_epoch, epochs):
             ep_state.update(main=0.0, cl=0.0, n=0)
             first = start_opt_step if epoch == start_epoch else 0
             for opt_step in range(first, opt_steps):
+                if preempt is not None and preempt.requested:
+                    # SIGTERM arrived (preemptible VM shutdown notice):
+                    # drain pending metrics, write a durable checkpoint at
+                    # the exact resume position, and return cleanly.  The
+                    # completed work is opt steps < opt_step of this epoch.
+                    flush()
+                    if ckpt is not None:
+                        ckpt.save(self.host_step, self.state,
+                                  extra=self._resume_extra(epoch, opt_step),
+                                  wait=True)
+                    preempted = True
+                    break
                 if cfg.train.profile:
                     if total_opt_steps == cfg.train.profile_start:
                         jax.profiler.start_trace(cfg.train.profile_dir)
@@ -237,6 +252,10 @@ class Trainer:
                     flush()
                     ckpt.save(self.host_step, self.state,
                               extra=self._resume_extra(epoch, opt_step + 1))
+            if preempted:
+                # partial epoch: no epoch-loss entry, no epoch checkpoint —
+                # the preemption save above already holds the resume point
+                break
             flush()
             if ep_state["n"]:    # a resumed, already-complete epoch runs 0
                 n = ep_state["n"]
@@ -263,7 +282,7 @@ class Trainer:
                          out_dir)
         plot_epoch_losses(epoch_losses, out_dir)
         return {"history": history, "epoch_losses": epoch_losses,
-                "examples_per_sec": meter.rate()}
+                "examples_per_sec": meter.rate(), "preempted": preempted}
 
     def _resume_extra(self, epoch: int, opt_step_in_epoch: int) -> Dict:
         return {"epoch": epoch, "opt_step_in_epoch": opt_step_in_epoch,
@@ -309,8 +328,16 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
         shard_shuffle=cfg.data.shard_shuffle,
         skip_batches=trainer.host_step * cfg.train.optim.grad_accum)
     try:
-        return trainer.fit(iter(loader), ckpt=ckpt, start_epoch=start_epoch,
-                           start_opt_step=start_opt_step)
+        with PreemptionGuard() as guard:
+            result = trainer.fit(iter(loader), ckpt=ckpt,
+                                 start_epoch=start_epoch,
+                                 start_opt_step=start_opt_step,
+                                 preempt=guard)
+        if result.get("preempted"):
+            print(f"[preempt] SIGTERM: checkpointed at host_step="
+                  f"{trainer.host_step}; rerun with --train.resume=true "
+                  f"to continue bit-identically", flush=True)
+        return result
     finally:
         loader.close()
         ckpt.close()

@@ -42,7 +42,8 @@ def plot_epoch_losses(epoch_losses: Dict[str, Sequence[float]],
             ax.plot(range(len(vals)), vals, marker="o", label=name)
     ax.set_xlabel("epoch")
     ax.set_ylabel("avg loss")
-    ax.legend()
+    if any(len(v) for v in epoch_losses.values()):
+        ax.legend()
     ax.grid(True, alpha=0.3)
     path = os.path.join(output_dir, f"{prefix}_epoch_losses.png")
     fig.savefig(path, dpi=150)
