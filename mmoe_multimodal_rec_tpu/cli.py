@@ -51,6 +51,29 @@ def cmd_train(argv: List[str]) -> int:
     return 0
 
 
+def _restore_for_inference(cfg: Config, checkpoint: Optional[str],
+                           reference_ckpt: Optional[str], tag: str):
+    """Build init state and load the requested checkpoint (orbax dir or
+    on-the-fly-converted reference torch .pt) — shared by eval/serve."""
+    from .train.checkpoint import CheckpointManager
+    from .train.loop import Trainer
+
+    trainer = Trainer(cfg)
+    if reference_ckpt:
+        trainer.state = _load_reference_ckpt(cfg, trainer.state,
+                                             reference_ckpt)
+    else:
+        ckpt = CheckpointManager(checkpoint or cfg.train.checkpoint_dir)
+        restored, _ = ckpt.restore(trainer.state)
+        if restored is not None:
+            trainer.state = restored
+            print(f"[{tag}] restored step={int(restored.step)}", flush=True)
+        else:
+            print(f"[{tag}] WARNING: no checkpoint found, using init "
+                  "weights", flush=True)
+    return trainer.state
+
+
 def cmd_eval(argv: List[str]) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", type=str, default=None,
@@ -63,25 +86,11 @@ def cmd_eval(argv: List[str]) -> int:
     args = ap.parse_args(rest)
     cfg = Config.from_flags(cfg_flags)
 
-    import jax
     from .eval.evaluate import evaluate_from_config
-    from .train.checkpoint import CheckpointManager
-    from .train.loop import Trainer
 
-    trainer = Trainer(cfg)
-    if args.reference_ckpt:
-        trainer.state = _load_reference_ckpt(cfg, trainer.state,
-                                             args.reference_ckpt)
-    else:
-        ckpt = CheckpointManager(args.checkpoint or cfg.train.checkpoint_dir)
-        restored, _ = ckpt.restore(trainer.state)
-        if restored is not None:
-            trainer.state = restored
-            print(f"[eval] restored step={int(restored.step)}", flush=True)
-        else:
-            print("[eval] WARNING: no checkpoint found, evaluating init "
-                  "weights", flush=True)
-    res = evaluate_from_config(cfg, trainer.state,
+    state = _restore_for_inference(cfg, args.checkpoint, args.reference_ckpt,
+                                   "eval")
+    res = evaluate_from_config(cfg, state,
                                recalibrate=args.recalibrate_bn)
     print(json.dumps({"auc_good": res["good"], "auc_best": res["best"],
                       "n": res["n"]}))
@@ -249,6 +258,53 @@ def cmd_synth(argv: List[str]) -> int:
     return 0
 
 
+def cmd_serve(argv: List[str]) -> int:
+    """Online prediction server over the LoRA-merged jit forward
+    (eval/server.py): /v1/predict, /healthz, /varz."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", type=str, default=None)
+    ap.add_argument("--reference-ckpt", type=str, default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="serving batch shape (default train.batch_size)")
+    ap.add_argument("--max-wait-ms", type=float, default=5.0,
+                    help="micro-batching window for coalescing concurrent "
+                         "requests into one device batch")
+    ap.add_argument("--no-merge-lora", action="store_true")
+    cfg_flags, rest = _split_flags(argv)
+    args = ap.parse_args(rest)
+    cfg = Config.from_flags(cfg_flags)
+
+    from .eval.predict import Predictor
+    from .eval.server import PredictionServer
+
+    state = _restore_for_inference(cfg, args.checkpoint, args.reference_ckpt,
+                                   "serve")
+    predictor = Predictor(cfg, state.trainable, state.frozen,
+                          state.batch_stats, batch_size=args.batch_size,
+                          merge_lora=not args.no_merge_lora)
+    # compile before accepting traffic (first request would otherwise wait
+    # out the full jit compile)
+    print("[serve] warmup compile...", flush=True)
+    predictor.predict(["warmup"], ["warmup"])
+    server = PredictionServer(
+        predictor, host=args.host, port=args.port,
+        max_wait_ms=args.max_wait_ms,
+        model_info={"variant": cfg.model.variant,
+                    "step": int(state.step),
+                    "lora_merged": not args.no_merge_lora})
+    print(json.dumps({"serving": f"{args.host}:{server.port}",
+                      "batch_size": predictor.batch_size}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "eval": cmd_eval,
@@ -258,6 +314,7 @@ COMMANDS = {
     "ingest-meta": lambda a: cmd_ingest(a, "meta"),
     "ingest-reviews": lambda a: cmd_ingest(a, "reviews"),
     "synth": cmd_synth,
+    "serve": cmd_serve,
 }
 
 
