@@ -38,6 +38,38 @@ import time
 REFERENCE_EXAMPLES_PER_SEC_PER_CHIP = 40.0  # documented estimate, see above
 
 
+def wait_for_device(budget_s: float, probe_timeout_s: float = 240.0) -> bool:
+    """The tunnel-attached TPU is exclusive, and a wedged previous client
+    can leave its grant stuck for a long time — jax.devices() then blocks
+    INDEFINITELY in this process (observed 2026-08-17).  Probe from killable
+    subprocesses until the device answers or the budget runs out, so a stuck
+    grant yields a loud JSON error line instead of a silent hang."""
+    import os
+    import subprocess
+    import sys
+    deadline = time.time() + budget_s
+    attempt = 0
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    while True:
+        attempt += 1
+        left = deadline - time.time()
+        if left <= 0:
+            return False
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=min(probe_timeout_s, left), env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL).returncode
+            if rc == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] device probe {attempt} timed out; retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(5)
+
+
 def build_config(args, variant: str):
     from mmoe_multimodal_rec_tpu.config import Config
     cfg = Config()
@@ -324,6 +356,22 @@ def main():
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # real-device run: make sure the exclusive TPU grant is actually
+        # obtainable before this process commits to it (BENCH_DEVICE_WAIT_S
+        # to tune; 0 disables)
+        import os
+        import sys
+        budget = float(os.environ.get("BENCH_DEVICE_WAIT_S", "1500"))
+        if budget > 0 and not wait_for_device(budget):
+            print(json.dumps({
+                "metric": "train_examples_per_sec_per_chip", "value": 0.0,
+                "unit": "examples/sec/chip", "vs_baseline": 0.0,
+                "error": "TPU unavailable: exclusive device grant did not "
+                         "clear within the probe budget (wedged prior "
+                         "client); BENCHMARKS.md holds the last captured "
+                         "numbers"}))
+            return 1
     import jax
     # persistent compilation cache: repeated bench invocations skip the
     # multi-minute XLA compile when the program is unchanged
@@ -412,4 +460,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
