@@ -258,6 +258,29 @@ def cmd_synth(argv: List[str]) -> int:
     return 0
 
 
+def cmd_pretokenize(argv: List[str]) -> int:
+    """Bake sentence-token sidecars into shards (data/pretokenize.py) so
+    the train/eval loaders skip sentence splitting + WordPiece entirely
+    (the reference's stated future work, README.md:670)."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="input shard glob")
+    ap.add_argument("--output", required=True, help="output shard dir")
+    cfg_flags, rest = _split_flags(argv)
+    args = ap.parse_args(rest)
+    cfg = Config.from_flags(cfg_flags)
+
+    from .data.native_tokenizer import load_best_tokenizer
+    from .data.packer import TextPacker
+    from .data.pretokenize import pretokenize_shards
+
+    tokenizer = load_best_tokenizer(cfg.data.vocab_path,
+                                    cfg.model.text.vocab_size)
+    packer = TextPacker(tokenizer, cfg.model.packer)
+    paths = pretokenize_shards(args.input, args.output, packer)
+    print(json.dumps({"shards": len(paths)}))
+    return 0
+
+
 def cmd_serve(argv: List[str]) -> int:
     """Online prediction server over the LoRA-merged jit forward
     (eval/server.py): /v1/predict, /healthz, /varz."""
@@ -315,6 +338,7 @@ COMMANDS = {
     "ingest-reviews": lambda a: cmd_ingest(a, "reviews"),
     "synth": cmd_synth,
     "serve": cmd_serve,
+    "pretokenize": cmd_pretokenize,
 }
 
 

@@ -74,7 +74,7 @@ def decode_sample(sample: Dict[str, bytes]) -> Optional[dict]:
                 patch = np.zeros(PATCH_SHAPE, np.uint8)
                 has_image = 0
 
-        return {
+        out = {
             "user_text": user_raw,
             "item_text": item_raw,
             "patch": patch,
@@ -82,6 +82,22 @@ def decode_sample(sample: Dict[str, bytes]) -> Optional[dict]:
             "label_good": label_good,
             "label_best": label_best,
         }
+        # optional offline-pretokenization sidecars (data/pretokenize.py);
+        # malformed sidecars degrade to the raw-text path, never drop the
+        # sample
+        if "utok.bin" in sample and "itok.bin" in sample:
+            try:
+                from .pretokenize import decode_sent_tokens
+                u_max, u_vocab, u_sents = decode_sent_tokens(sample["utok.bin"])
+                i_max, i_vocab, i_sents = decode_sent_tokens(sample["itok.bin"])
+                if u_vocab == i_vocab:
+                    out["user_sents"] = u_sents
+                    out["item_sents"] = i_sents
+                    out["sents_max_len"] = min(u_max, i_max)
+                    out["sents_vocab"] = u_vocab
+            except ValueError:
+                pass
+        return out
     except Exception:
         return None
 

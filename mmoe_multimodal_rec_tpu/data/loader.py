@@ -76,10 +76,24 @@ def iter_decoded(paths: Sequence[str], *, shuffle: bool = False,
 
 def assemble_batch(samples: List[dict], packer: TextPacker,
                    chunk_budget: Optional[int] = None) -> Dict[str, np.ndarray]:
-    """Decoded samples -> static-shape numpy batch (model + loss inputs)."""
+    """Decoded samples -> static-shape numpy batch (model + loss inputs).
+
+    When every sample carries offline-pretokenized sentences at a
+    compatible truncation (data/pretokenize.py sidecars), the split +
+    WordPiece stages are skipped and only the greedy packing runs —
+    bit-identical outputs (tests/test_pretokenize.py)."""
     b = len(samples)
-    user = packer.pack([s["user_text"] for s in samples], chunk_budget)
-    item = packer.pack([s["item_text"] for s in samples], chunk_budget)
+    need = packer.cfg.max_tok - 3
+    vocab = packer.tok.vocab_size
+    if all(s.get("sents_max_len", -1) >= need and
+           s.get("sents_vocab") == vocab for s in samples):
+        user = packer.pack_encoded([s["user_sents"] for s in samples],
+                                   chunk_budget)
+        item = packer.pack_encoded([s["item_sents"] for s in samples],
+                                   chunk_budget)
+    else:
+        user = packer.pack([s["user_text"] for s in samples], chunk_budget)
+        item = packer.pack([s["item_text"] for s in samples], chunk_budget)
     patches = np.stack([s["patch"] for s in samples])
     return {
         "user_tokens": user.tokens, "user_sent_chunk": user.sent_chunk,

@@ -90,11 +90,38 @@ class TextPacker:
         else:
             encoded = [tok.encode(s, max_length=pad_limit - 1)
                        for sents in sents_per_text for s in sents]
-        enc_pos = 0
+        enc_per_text: List[List[List[int]]] = []
+        pos = 0
+        for sents in sents_per_text:
+            enc_per_text.append(encoded[pos:pos + len(sents)])
+            pos += len(sents)
+        return self.pack_encoded(enc_per_text, chunk_budget)
 
+    def pack_encoded(self, enc_per_text: Sequence[Sequence[Sequence[int]]],
+                     chunk_budget: Optional[int] = None) -> PackedBatch:
+        """Greedy chunk packing over PRE-ENCODED sentences (one list of
+        base token ids per sentence per text, already truncated to
+        <= max_tok-3).  This is the offline-pretokenization entry point
+        (the reference lists precomputed tokenization as intended future
+        work, README.md:670): with sentence splitting + WordPiece done
+        offline (`data/pretokenize.py`), the in-loader host work reduces
+        to this cheap packing loop.  Output is bit-identical to
+        `pack()` on the same sentences (tests/test_pretokenize.py)."""
+        cfg = self.cfg
+        tok = self.tok
+        max_tok = cfg.max_tok
+        pad_limit = max_tok - 2
+        budget = chunk_budget or cfg.chunk_budget or \
+            len(enc_per_text) * cfg.max_chunks_per_sample
+        S = cfg.fixed_sent_count
+
+        tokens = np.full((budget, max_tok), tok.pad_id, np.int32)
+        sent_chunk = np.full((len(enc_per_text), S), -1, np.int32)
+        sent_tok = np.full((len(enc_per_text), S), -1, np.int32)
+
+        trunc = pad_limit - 1   # per-sentence cap the encode stage applies
         chunk_row = 0
-        for si, text in enumerate(texts):
-            sents = sents_per_text[si]
+        for si, sents in enumerate(enc_per_text):
             cur: List[int] = []
             sent_pos: List[int] = []
             chunk_count = 0
@@ -120,11 +147,13 @@ class TextPacker:
                 chunk_row += 1
                 return True
 
-            for sj, sent in enumerate(sents):
+            for base_ids in sents:
                 if chunk_count >= cfg.max_chunks_per_sample:
                     break
-                base_ids = encoded[enc_pos + sj]
-                ids = [tok.sent_id] + base_ids
+                # re-truncate: a no-op for ids encoded at this max_tok;
+                # recovers exact semantics for ids pretokenized at a
+                # LARGER max_tok (WordPiece truncation is prefix-take)
+                ids = [tok.sent_id] + list(base_ids[:trunc])
                 if len(cur) + len(ids) > pad_limit:
                     emit(cur, sent_pos)
                     chunk_count += 1
@@ -134,7 +163,6 @@ class TextPacker:
                     cur.extend(ids)
             if chunk_count < cfg.max_chunks_per_sample and cur:
                 emit(cur, sent_pos)
-            enc_pos += len(sents)
 
         return PackedBatch(tokens=tokens, sent_chunk=sent_chunk,
                            sent_tok=sent_tok, n_chunks=chunk_row)
