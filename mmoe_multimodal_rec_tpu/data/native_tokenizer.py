@@ -53,6 +53,15 @@ class NativeWordPieceTokenizer:
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
+        self._lib.wp_pack_encoded_batch.restype = ctypes.c_int32
+        self._lib.wp_pack_encoded_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
 
         # special ids from the vocab via the python reference loader
         ref = WordPieceTokenizer.from_vocab_file(vocab_path,
@@ -141,6 +150,39 @@ class NativeWordPieceTokenizer:
             fixed_sent_count, budget, self.cls_id, self.sep_id, self.pad_id,
             self.sent_id, self.vocab_size, as_i32(tokens), as_i32(sent_chunk),
             as_i32(sent_tok))
+        return tokens, sent_chunk, sent_tok, int(n_chunks)
+
+    def pack_encoded_batch(self, enc_per_text, *, max_tok: int,
+                           max_chunks_per_sample: int, fixed_sent_count: int,
+                           budget: int):
+        """Greedy packing over PRE-ENCODED sentences (offline
+        pretokenization sidecars) in one GIL-released native call —
+        wp_pack_batch minus the encode stage.
+
+        enc_per_text: per text, a list of base-token-id sequences (no
+        <SENT> marker; any truncation state — the C++ side re-truncates to
+        max_tok-3).  Returns (tokens, sent_chunk, sent_tok, n_chunks)."""
+        counts = np.asarray([len(s) for s in enc_per_text], np.int32)
+        lens_list = [len(s) for sents in enc_per_text for s in sents]
+        lens = np.asarray(lens_list or [0], np.int32)
+        total = int(sum(lens_list))
+        flat = np.empty(max(total, 1), np.int32)
+        pos = 0
+        for sents in enc_per_text:
+            for s in sents:
+                n = len(s)
+                flat[pos:pos + n] = np.asarray(s, np.int32)
+                pos += n
+        b = len(enc_per_text)
+        tokens = np.empty((budget, max_tok), np.int32)
+        sent_chunk = np.empty((b, fixed_sent_count), np.int32)
+        sent_tok = np.empty((b, fixed_sent_count), np.int32)
+        as_i32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        n_chunks = self._lib.wp_pack_encoded_batch(
+            as_i32(flat), as_i32(lens), as_i32(counts), b, max_tok,
+            max_chunks_per_sample, fixed_sent_count, budget, self.cls_id,
+            self.sep_id, self.pad_id, self.sent_id, self.vocab_size,
+            as_i32(tokens), as_i32(sent_chunk), as_i32(sent_tok))
         return tokens, sent_chunk, sent_tok, int(n_chunks)
 
 

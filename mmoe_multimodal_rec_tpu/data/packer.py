@@ -115,6 +115,16 @@ class TextPacker:
             len(enc_per_text) * cfg.max_chunks_per_sample
         S = cfg.fixed_sent_count
 
+        # native fast path: greedy pack in one GIL-released C++ call
+        # (bit-identical to the loop below, tests/test_pretokenize.py)
+        if hasattr(tok, "pack_encoded_batch"):
+            tokens, sent_chunk, sent_tok, n_chunks = tok.pack_encoded_batch(
+                enc_per_text, max_tok=max_tok,
+                max_chunks_per_sample=cfg.max_chunks_per_sample,
+                fixed_sent_count=S, budget=budget)
+            return PackedBatch(tokens=tokens, sent_chunk=sent_chunk,
+                               sent_tok=sent_tok, n_chunks=n_chunks)
+
         tokens = np.full((budget, max_tok), tok.pad_id, np.int32)
         sent_chunk = np.full((len(enc_per_text), S), -1, np.int32)
         sent_tok = np.full((len(enc_per_text), S), -1, np.int32)

@@ -300,15 +300,92 @@ int32_t wp_encode_batch(void* handle, const char* buffer,
   return 0;
 }
 
-// The whole pack stage (data/packer.py TextPacker.pack) in one GIL-released
-// call: encode every pre-split sentence and greedy-pack into static-shape
-// [budget, max_tok] token rows + [n_texts, S] sentence routing tensors.
+// ---------------------------------------------------------------------------
+// Greedy chunk-packing core shared by wp_pack_batch (encode + pack) and
+// wp_pack_encoded_batch (pack only, for offline-pretokenized sidecars).
 // Packing semantics are byte-identical to the Python packer (which mirrors
 // reference model.py:29-117, including its quirks): per-sentence truncation
 // to max_tok-3, <SENT> marker prepended, flush-on-overflow with
 // silent-drop at the chunk cap, OOV clamp to pad (incl. the <SENT> id
-// itself), +1 position shift for [CLS].  tests/test_native_tokenizer.py
-// cross-checks this against the Python path on randomized corpora.
+// itself), +1 position shift for [CLS].  tests/test_native_tokenizer.py and
+// tests/test_pretokenize.py cross-check both entries against the Python
+// path on randomized corpora.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PackCore {
+  int32_t max_tok, pad_limit, max_chunks, s_cap, budget;
+  int32_t cls_id, sep_id, pad_id, vocab_size;
+  int32_t* tokens;
+  int32_t* sent_chunk;
+  int32_t* sent_tok;
+  int32_t chunk_row = 0;
+  // per-text state
+  int32_t ti = 0, chunk_count = 0, n_sents = 0;
+  std::vector<int32_t> cur, positions;
+
+  void init(int32_t n_texts) {
+    for (int64_t i = 0; i < static_cast<int64_t>(budget) * max_tok; ++i)
+      tokens[i] = pad_id;
+    for (int64_t i = 0; i < static_cast<int64_t>(n_texts) * s_cap; ++i) {
+      sent_chunk[i] = -1;
+      sent_tok[i] = -1;
+    }
+  }
+
+  void begin_text(int32_t t) {
+    ti = t;
+    cur.clear();
+    positions.clear();
+    chunk_count = 0;
+    n_sents = 0;
+  }
+
+  void emit() {
+    if (chunk_row >= budget) return;
+    int32_t* row = tokens + static_cast<int64_t>(chunk_row) * max_tok;
+    int32_t len = 0;
+    auto put = [&](int32_t id) {
+      // OOV clamp incl. <SENT> (ref model.py:101-109)
+      row[len++] = (id >= vocab_size) ? pad_id : id;
+    };
+    put(cls_id);
+    for (int32_t id : cur) put(id);
+    put(sep_id);
+    for (int32_t p : positions) {
+      if (n_sents >= s_cap) break;
+      sent_chunk[static_cast<int64_t>(ti) * s_cap + n_sents] = chunk_row;
+      sent_tok[static_cast<int64_t>(ti) * s_cap + n_sents] = p + 1;
+      ++n_sents;
+    }
+    ++chunk_row;
+  }
+
+  // `ids` INCLUDES the <SENT> marker prefix and is already truncated.
+  void add_sentence(const std::vector<int32_t>& ids) {
+    if (chunk_count >= max_chunks) return;  // python `break`
+    if (static_cast<int32_t>(cur.size() + ids.size()) > pad_limit) {
+      emit();
+      ++chunk_count;
+      cur.assign(ids.begin(), ids.end());
+      positions.assign(1, 0);
+    } else {
+      positions.push_back(static_cast<int32_t>(cur.size()));
+      cur.insert(cur.end(), ids.begin(), ids.end());
+    }
+  }
+
+  void end_text() {
+    if (chunk_count < max_chunks && !cur.empty()) emit();
+  }
+};
+
+}  // namespace
+
+// The whole pack stage (data/packer.py TextPacker.pack) in one GIL-released
+// call: encode every pre-split sentence and greedy-pack into static-shape
+// [budget, max_tok] token rows + [n_texts, S] sentence routing tensors.
 //
 // sentences: NUL-separated blob; offsets[k] -> sentence k;
 // sents_per_text[i] = how many consecutive sentences belong to text i.
@@ -322,75 +399,76 @@ int32_t wp_pack_batch(void* handle, const char* buffer,
                       int32_t pad_id, int32_t sent_id, int32_t vocab_size,
                       int32_t* tokens, int32_t* sent_chunk,
                       int32_t* sent_tok) {
-  const int32_t pad_limit = max_tok - 2;
-  const int32_t sent_max = pad_limit - 1;  // per-sentence truncation
-  for (int64_t i = 0; i < static_cast<int64_t>(budget) * max_tok; ++i)
-    tokens[i] = pad_id;
-  for (int64_t i = 0; i < static_cast<int64_t>(n_texts) * s_cap; ++i) {
-    sent_chunk[i] = -1;
-    sent_tok[i] = -1;
-  }
+  PackCore pc{max_tok,   max_tok - 2, max_chunks_per_sample, s_cap,
+              budget,    cls_id,      sep_id,                pad_id,
+              vocab_size, tokens,     sent_chunk,            sent_tok};
+  const int32_t sent_max = pc.pad_limit - 1;  // per-sentence truncation
+  pc.init(n_texts);
 
-  int32_t chunk_row = 0;
   int64_t sent_idx = 0;
-  std::vector<int32_t> ids, cur;
-  std::vector<int32_t> positions;
+  std::vector<int32_t> ids;
+  const Tokenizer& tok = *static_cast<Tokenizer*>(handle);
   for (int32_t ti = 0; ti < n_texts; ++ti) {
-    cur.clear();
-    positions.clear();
-    int32_t chunk_count = 0;
-    int32_t n_sents = 0;
-
-    auto emit = [&]() {
-      if (chunk_row >= budget) return;
-      int32_t* row = tokens + static_cast<int64_t>(chunk_row) * max_tok;
-      int32_t len = 0;
-      auto put = [&](int32_t id) {
-        // OOV clamp incl. <SENT> (ref model.py:101-109)
-        row[len++] = (id >= vocab_size) ? pad_id : id;
-      };
-      put(cls_id);
-      for (int32_t id : cur) put(id);
-      put(sep_id);
-      for (int32_t p : positions) {
-        if (n_sents >= s_cap) break;
-        sent_chunk[static_cast<int64_t>(ti) * s_cap + n_sents] = chunk_row;
-        sent_tok[static_cast<int64_t>(ti) * s_cap + n_sents] = p + 1;
-        ++n_sents;
-      }
-      ++chunk_row;
-    };
-
+    pc.begin_text(ti);
     const int32_t n = sents_per_text[ti];
     for (int32_t sj = 0; sj < n; ++sj, ++sent_idx) {
-      if (chunk_count >= max_chunks_per_sample) continue;  // python `break`
+      if (pc.chunk_count >= max_chunks_per_sample) continue;
       ids.clear();
       ids.push_back(sent_id);
-      {
-        const Tokenizer& tok = *static_cast<Tokenizer*>(handle);
-        std::vector<std::string> words;
-        basic_tokenize(tok, buffer + offsets[sent_idx], &words);
-        for (const auto& w : words) {
-          wordpiece_word(tok, w, &ids);
-          if (static_cast<int32_t>(ids.size()) - 1 >= sent_max) break;
-        }
-        if (static_cast<int32_t>(ids.size()) - 1 > sent_max)
-          ids.resize(sent_max + 1);
+      std::vector<std::string> words;
+      basic_tokenize(tok, buffer + offsets[sent_idx], &words);
+      for (const auto& w : words) {
+        wordpiece_word(tok, w, &ids);
+        if (static_cast<int32_t>(ids.size()) - 1 >= sent_max) break;
       }
-      if (static_cast<int32_t>(cur.size() + ids.size()) > pad_limit) {
-        emit();
-        ++chunk_count;
-        cur.assign(ids.begin(), ids.end());
-        positions.assign(1, 0);
-      } else {
-        positions.push_back(static_cast<int32_t>(cur.size()));
-        cur.insert(cur.end(), ids.begin(), ids.end());
-      }
+      if (static_cast<int32_t>(ids.size()) - 1 > sent_max)
+        ids.resize(sent_max + 1);
+      pc.add_sentence(ids);
     }
-    // advance past skipped sentences of this text
-    if (chunk_count < max_chunks_per_sample && !cur.empty()) emit();
+    pc.end_text();
   }
-  return chunk_row;
+  return pc.chunk_row;
+}
+
+// Pack PRE-ENCODED sentences (offline pretokenization, data/pretokenize.py):
+// wp_pack_batch minus the encode stage.  flat_ids/sent_lens give sentence
+// k's base ids (no <SENT> marker; truncated here to max_tok-3, a prefix-take
+// no-op when already shorter); sents_per_text groups sentences per text.
+// No tokenizer handle needed — the special ids arrive explicitly.
+int32_t wp_pack_encoded_batch(const int32_t* flat_ids,
+                              const int32_t* sent_lens,
+                              const int32_t* sents_per_text, int32_t n_texts,
+                              int32_t max_tok, int32_t max_chunks_per_sample,
+                              int32_t s_cap, int32_t budget, int32_t cls_id,
+                              int32_t sep_id, int32_t pad_id, int32_t sent_id,
+                              int32_t vocab_size, int32_t* tokens,
+                              int32_t* sent_chunk, int32_t* sent_tok) {
+  PackCore pc{max_tok,   max_tok - 2, max_chunks_per_sample, s_cap,
+              budget,    cls_id,      sep_id,                pad_id,
+              vocab_size, tokens,     sent_chunk,            sent_tok};
+  const int32_t sent_max = pc.pad_limit - 1;
+  pc.init(n_texts);
+
+  int64_t sent_idx = 0;
+  int64_t flat_pos = 0;
+  std::vector<int32_t> ids;
+  for (int32_t ti = 0; ti < n_texts; ++ti) {
+    pc.begin_text(ti);
+    const int32_t n = sents_per_text[ti];
+    for (int32_t sj = 0; sj < n; ++sj, ++sent_idx) {
+      const int32_t len = sent_lens[sent_idx];
+      if (pc.chunk_count < max_chunks_per_sample) {
+        const int32_t take = len > sent_max ? sent_max : len;
+        ids.clear();
+        ids.push_back(sent_id);
+        ids.insert(ids.end(), flat_ids + flat_pos, flat_ids + flat_pos + take);
+        pc.add_sentence(ids);
+      }
+      flat_pos += len;
+    }
+    pc.end_text();
+  }
+  return pc.chunk_row;
 }
 
 }  // extern "C"

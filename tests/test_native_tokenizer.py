@@ -133,3 +133,47 @@ def test_native_pack_batch_matches_python_packer(tmp_path):
             np.testing.assert_array_equal(a.tokens, b.tokens)
             np.testing.assert_array_equal(a.sent_chunk, b.sent_chunk)
             np.testing.assert_array_equal(a.sent_tok, b.sent_tok)
+
+
+def test_native_pack_encoded_batch_matches_python(tmp_path):
+    """wp_pack_encoded_batch (the offline-pretokenization pack path) must
+    be bit-identical to the Python pack_encoded loop — including
+    re-truncation of sentences stored at a larger max_tok, chunk-cap
+    drops, sentence-cap routing truncation, and budget exhaustion."""
+    from mmoe_multimodal_rec_tpu.native import build_native
+    if build_native() is None:
+        pytest.skip("no g++")
+    from mmoe_multimodal_rec_tpu.config import PackerConfig
+    from mmoe_multimodal_rec_tpu.data.native_tokenizer import \
+        NativeWordPieceTokenizer
+    from mmoe_multimodal_rec_tpu.data.packer import TextPacker
+    from mmoe_multimodal_rec_tpu.data.sentence import split_sentences
+    from mmoe_multimodal_rec_tpu.data.synthetic import random_text
+    from mmoe_multimodal_rec_tpu.data.wordpiece import WordPieceTokenizer
+
+    vocab_path = _write_vocab(tmp_path)
+    native = NativeWordPieceTokenizer(vocab_path)
+    pyref = WordPieceTokenizer.from_vocab_file(vocab_path)
+
+    for cfg in (PackerConfig(),
+                PackerConfig(max_tok=16, max_chunks_per_sample=2,
+                             fixed_sent_count=4)):
+        rng = np.random.default_rng(7)
+        texts = [random_text(rng, 1, 12) for _ in range(24)] + ["", "a."]
+        # pre-encode at a LARGER truncation than the packer needs
+        # (sidecars from a bigger max_tok config must re-truncate exactly)
+        enc = [[pyref.encode(s, max_length=cfg.max_tok + 5)
+                for s in split_sentences(t)] for t in texts]
+        for budget in (None, 8):
+            fast = TextPacker(native, cfg, splitter=split_sentences)
+            slow = TextPacker(pyref, cfg, splitter=split_sentences)
+            a = fast.pack_encoded(enc, budget)
+            b = slow.pack_encoded(enc, budget)
+            assert a.n_chunks == b.n_chunks
+            np.testing.assert_array_equal(a.tokens, b.tokens)
+            np.testing.assert_array_equal(a.sent_chunk, b.sent_chunk)
+            np.testing.assert_array_equal(a.sent_tok, b.sent_tok)
+            # ... and both equal the text path (same sentences, native
+            # encode == python encode is asserted above)
+            c = slow.pack(texts, budget)
+            np.testing.assert_array_equal(b.tokens, c.tokens)
