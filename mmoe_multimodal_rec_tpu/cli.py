@@ -258,6 +258,61 @@ def cmd_synth(argv: List[str]) -> int:
     return 0
 
 
+def cmd_validate(argv: List[str]) -> int:
+    """Scan shards and report drop/degradation reasons + label/image stats.
+    The loaders (and the reference, train.py:54) drop malformed samples
+    silently; this surfaces what a training run would quietly lose."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="shard glob")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="stop after N samples (0 = all)")
+    args = ap.parse_args(argv)
+
+    from collections import Counter
+
+    from .data.decode import decode_sample, explain_sample
+    from .data.tar_io import iter_shard
+
+    shards = fs_glob(args.input)
+    if not shards:
+        raise FileNotFoundError(f"no shards match {args.input!r}")
+    reasons: Counter = Counter()
+    degraded: Counter = Counter()
+    n = ok = has_img = pretok = 0
+    pos_good = pos_best = 0.0
+    done = False
+    for path in shards:
+        if done:
+            break
+        for sample in iter_shard(path):
+            n += 1
+            rep = explain_sample(sample)
+            if rep["status"] == "ok":
+                ok += 1
+                dec = decode_sample(sample)
+                if dec is not None:
+                    has_img += dec["has_image"]
+                    pos_good += dec["label_good"]
+                    pos_best += dec["label_best"]
+                    pretok += int("user_sents" in dec)
+            else:
+                reasons[rep["reason"]] += 1
+            for d in rep["degraded"]:
+                degraded[d] += 1
+            if args.limit and n >= args.limit:
+                done = True
+                break
+    print(json.dumps({
+        "shards": len(shards), "samples": n, "ok": ok, "dropped": n - ok,
+        "drop_reasons": dict(reasons), "degraded": dict(degraded),
+        "has_image_rate": round(has_img / ok, 4) if ok else None,
+        "pretokenized_rate": round(pretok / ok, 4) if ok else None,
+        "label_good_pos_rate": round(pos_good / ok, 4) if ok else None,
+        "label_best_pos_rate": round(pos_best / ok, 4) if ok else None,
+    }))
+    return 0 if n == ok else 3
+
+
 def cmd_pretokenize(argv: List[str]) -> int:
     """Bake sentence-token sidecars into shards (data/pretokenize.py) so
     the train/eval loaders skip sentence splitting + WordPiece entirely
@@ -339,6 +394,7 @@ COMMANDS = {
     "synth": cmd_synth,
     "serve": cmd_serve,
     "pretokenize": cmd_pretokenize,
+    "validate": cmd_validate,
 }
 
 

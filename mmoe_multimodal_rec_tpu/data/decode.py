@@ -102,6 +102,73 @@ def decode_sample(sample: Dict[str, bytes]) -> Optional[dict]:
         return None
 
 
+def explain_sample(sample: Dict[str, bytes]) -> Dict[str, object]:
+    """Diagnostic twin of `decode_sample` for the `validate` CLI: returns
+    {"status": "ok" | "dropped", "reason": str | None, "degraded": [str]}.
+    `decode_sample` (and the reference, train.py:54) drops malformed
+    samples SILENTLY; production data pipelines need the reasons surfaced.
+    Mirrors decode_sample's checks exactly; "degraded" lists conditions
+    that keep the sample but lose information (zero-image fallback,
+    ignored token sidecars)."""
+    degraded = []
+    try:
+        user_bytes = sample.get("user.json", b"")
+        item_bytes = sample.get("item.json", b"")
+        label_bytes = sample.get("label.json", b"")
+        misc_bytes = sample.get("misc.json", b"")
+        if not user_bytes or not item_bytes or not label_bytes:
+            missing = [k for k, v in (("user.json", user_bytes),
+                                      ("item.json", item_bytes),
+                                      ("label.json", label_bytes)) if not v]
+            return {"status": "dropped",
+                    "reason": f"missing_member:{','.join(missing)}",
+                    "degraded": degraded}
+        try:
+            user_raw = user_bytes.decode("utf-8").strip()
+            item_raw = item_bytes.decode("utf-8").strip()
+        except UnicodeDecodeError:
+            return {"status": "dropped", "reason": "undecodable_text",
+                    "degraded": degraded}
+        if not user_raw or not item_raw:
+            return {"status": "dropped", "reason": "empty_text",
+                    "degraded": degraded}
+        try:
+            label = json.loads(label_bytes)
+            misc = json.loads(misc_bytes) if misc_bytes else {}
+        except json.JSONDecodeError:
+            return {"status": "dropped", "reason": "bad_json",
+                    "degraded": degraded}
+        if "label_good" not in label or "label_best" not in label:
+            return {"status": "dropped", "reason": "missing_label_keys",
+                    "degraded": degraded}
+        lg, lb = safe_float(label["label_good"]), safe_float(label["label_best"])
+        if not (0 <= lg <= 1) or not (0 <= lb <= 1):
+            return {"status": "dropped", "reason": "label_out_of_range",
+                    "degraded": degraded}
+        if misc.get("has_image", 0):
+            if "patch.bin" not in sample:
+                degraded.append("image_flag_without_patch")
+            else:
+                try:
+                    shape = misc.get("shape", [196, 3, 16, 16])
+                    np.frombuffer(sample["patch.bin"],
+                                  dtype=np.uint8).reshape(shape)\
+                        .reshape(PATCH_SHAPE)
+                except Exception:
+                    degraded.append("bad_patch_zero_filled")
+        if "utok.bin" in sample and "itok.bin" in sample:
+            try:
+                from .pretokenize import decode_sent_tokens
+                decode_sent_tokens(sample["utok.bin"])
+                decode_sent_tokens(sample["itok.bin"])
+            except ValueError:
+                degraded.append("bad_token_sidecar_ignored")
+        return {"status": "ok", "reason": None, "degraded": degraded}
+    except Exception as e:  # anything unforeseen == decode_sample's None
+        return {"status": "dropped", "reason": f"error:{type(e).__name__}",
+                "degraded": degraded}
+
+
 def patch_rows_to_image(rows: np.ndarray, grid: int = 14,
                         patch: int = 16) -> np.ndarray:
     """[grid^2, 3*patch^2] rows -> [3, grid*patch, grid*patch] image

@@ -327,3 +327,64 @@ def test_hash_tokenizer_ids_in_vocab_range():
         ids = tok.encode("the great bike broke badly yesterday")
         assert ids, "no ids"
         assert all(0 < i < vs for i in ids), (vs, ids)
+
+
+def test_explain_sample_and_validate_cli(tmp_path):
+    """explain_sample mirrors decode_sample's verdicts and names the drop/
+    degradation reasons; the validate CLI aggregates them."""
+    import json
+    from mmoe_multimodal_rec_tpu.cli import main as cli_main
+    from mmoe_multimodal_rec_tpu.data.decode import (decode_sample,
+                                                     explain_sample)
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+    from mmoe_multimodal_rec_tpu.data.tar_io import iter_shard, write_shard
+
+    paths = write_synthetic_shards(str(tmp_path / "s"), n_samples=16,
+                                   samples_per_shard=16, seed=11)
+    samples = list(iter_shard(paths[0]))
+    # corrupt a copy in distinct ways
+    bad = [dict(s) for s in samples[:5]]
+    del bad[0]["label.json"]                               # missing member
+    bad[1]["user.json"] = b"   "                           # empty text
+    bad[2]["label.json"] = b'{"label_good": 7, "label_best": 0}'  # range
+    bad[3]["label.json"] = b"{not json"                    # bad json
+    if bad[4].get("misc.json") and b'"has_image": 1' in bad[4]["misc.json"]:
+        bad[4]["patch.bin"] = b"\x00" * 13                 # degraded patch
+    else:
+        bad[4]["misc.json"] = b'{"has_image": 1, "shape": [196, 3, 16, 16]}'
+        bad[4]["patch.bin"] = b"\x00" * 13
+    corrupt = str(tmp_path / "c")
+    import os
+    os.makedirs(corrupt)
+    write_shard(os.path.join(corrupt, "shard-000000.tar.gz"),
+                bad + samples[5:])
+
+    # explain == decode verdict on every sample
+    for s in bad + samples[5:]:
+        rep = explain_sample(s)
+        assert (rep["status"] == "ok") == (decode_sample(s) is not None), rep
+
+    rc = None
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["validate", "--input",
+                       os.path.join(corrupt, "*.tar.gz")])
+    out = json.loads(buf.getvalue())
+    assert rc == 3                       # drops present
+    assert out["samples"] == 16 and out["dropped"] == 4
+    assert out["drop_reasons"]["missing_member:label.json"] == 1
+    assert out["drop_reasons"]["empty_text"] == 1
+    assert out["drop_reasons"]["label_out_of_range"] == 1
+    assert out["drop_reasons"]["bad_json"] == 1
+    assert out["degraded"].get("bad_patch_zero_filled", 0) == 1
+    assert 0.0 <= out["label_good_pos_rate"] <= 1.0
+
+    # clean shards exit 0 with zero drops
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["validate", "--input",
+                       str(tmp_path / "s" / "*.tar.gz")])
+    out = json.loads(buf.getvalue())
+    assert rc == 0 and out["dropped"] == 0
