@@ -143,3 +143,23 @@ def test_error_paths(server):
     assert code == 404
     code, _ = _request(server, "POST", "/nope")
     assert code == 404
+
+
+def test_home_variant_serving():
+    """HoME predictor: BN running stats ride the variables; deterministic
+    forward works through the server scoring path."""
+    cfg = tiny_config("home")
+    trainer = Trainer(cfg)
+    pred = Predictor.from_state(cfg, trainer.state, batch_size=2,
+                                tokenizer=tiny_tokenizer(cfg))
+    assert "batch_stats" in pred._variables
+    out = pred.predict(["nice product"], ["tent for camping"])
+    assert 0.0 < float(out["prob_good"][0]) < 1.0
+    assert 0.0 < float(out["prob_best"][0]) < 1.0
+    # padding row discarded; single instance equals itself batched with a
+    # second instance (per-sample independence at inference: BN uses
+    # running stats, not batch stats)
+    two = pred.predict(["nice product", "bad one"],
+                       ["tent for camping", "bike"])
+    np.testing.assert_allclose(float(two["prob_good"][0]),
+                               float(out["prob_good"][0]), atol=1e-5)
