@@ -374,11 +374,22 @@ def cmd_serve(argv: List[str]) -> int:
                     "lora_merged": not args.no_merge_lora})
     print(json.dumps({"serving": f"{args.host}:{server.port}",
                       "batch_size": predictor.batch_size}), flush=True)
+    # graceful SIGTERM: stop accepting, drain in-flight scoring, exit 0.
+    # shutdown() blocks until serve_forever() returns, so it must run off
+    # the serving thread (the handler fires on the same main thread).
+    import signal
+    import threading
+
+    def _stop(signum, frame):
+        threading.Thread(target=server.httpd.shutdown, daemon=True).start()
+
+    prev = signal.signal(signal.SIGTERM, _stop)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        signal.signal(signal.SIGTERM, prev)
         server.shutdown()
     return 0
 
