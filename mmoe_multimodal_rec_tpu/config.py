@@ -200,6 +200,12 @@ class TrainConfig:
     checkpoint_every: int = 0        # mid-epoch ckpt every N optimizer steps
                                      # (0 = per-epoch only); each carries the
                                      # exact resume position
+    eval_every: int = 0              # mid-training validation AUC every N
+                                     # optimizer steps over data.valid_pattern
+                                     # (0 = off; reference has no in-training
+                                     # eval at all)
+    eval_max_batches: int = 0        # cap streamed eval batches per
+                                     # mid-training eval (0 = full pass)
     # PRNG impl for dropout streams: "rbg" is far cheaper than threefry on
     # TPU and dropout needs no cross-impl reproducibility.
     rng_impl: str = "rbg"

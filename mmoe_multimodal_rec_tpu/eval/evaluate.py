@@ -60,8 +60,14 @@ def evaluate(cfg: Config, model: MMoERecModel, trainable, frozen,
              recal_total_samples: Optional[int] = None,
              bn_batch_size: int = 128,
              output_dir: Optional[str] = None,
-             save_preds: Optional[str] = None) -> Dict[str, float]:
-    """Full eval pass -> {'good': auc, 'best': auc, 'n': count}."""
+             save_preds: Optional[str] = None,
+             max_batches: Optional[int] = None,
+             eval_step=None) -> Dict[str, float]:
+    """Full eval pass -> {'good': auc, 'best': auc, 'n': count}.
+
+    `max_batches` bounds the streamed pass (mid-training monitoring);
+    `eval_step` lets callers reuse one jitted step across repeated evals
+    (a fresh jax.jit here would recompile on every call)."""
     packer = packer or TextPacker(load_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size),
                                   cfg.model.packer)
     batch_size = batch_size or cfg.train.batch_size
@@ -70,14 +76,19 @@ def evaluate(cfg: Config, model: MMoERecModel, trainable, frozen,
             cfg, model, trainable, frozen, batch_stats, shard_paths, packer,
             recal_total_samples or 22281, bn_batch_size)
 
-    eval_step = jax.jit(make_eval_step(cfg, model))
+    if eval_step is None:
+        eval_step = jax.jit(make_eval_step(cfg, model))
     preds = StreamingPredictions()
     loader = make_eval_loader(shard_paths, batch_size, packer,
                               chunk_budget=cfg.model.packer.chunk_budget)
+    seen = 0
     try:
         for batch in loader:
             out = eval_step(trainable, frozen, batch_stats, batch)
             preds.update(jax.tree.map(np.asarray, out))
+            seen += 1
+            if max_batches and seen >= max_batches:
+                break
     finally:
         loader.close()
 

@@ -147,7 +147,12 @@ class Trainer:
             logger: Optional[MetricsLogger] = None,
             ckpt: Optional[CheckpointManager] = None,
             start_epoch: int = 0, start_opt_step: int = 0,
-            preempt: Optional["PreemptionGuard"] = None) -> Dict[str, Any]:
+            preempt: Optional["PreemptionGuard"] = None,
+            eval_fn=None) -> Dict[str, Any]:
+        """eval_fn(state) -> {'good': auc, 'best': auc, 'n': int}: called
+        every train.eval_every optimizer steps for mid-training validation
+        monitoring (train_from_config wires eval/evaluate over
+        data.valid_pattern; the reference has no in-training eval)."""
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.train.epochs
         accum = cfg.train.optim.grad_accum
@@ -252,6 +257,14 @@ class Trainer:
                     flush()
                     ckpt.save(self.host_step, self.state,
                               extra=self._resume_extra(epoch, opt_step + 1))
+                if cfg.train.eval_every and eval_fn is not None and \
+                        (opt_step + 1) % cfg.train.eval_every == 0:
+                    flush()
+                    r = eval_fn(self.state)
+                    logger.log({"epoch": epoch, "step": self.host_step,
+                                "eval_auc_good": r["good"],
+                                "eval_auc_best": r["best"],
+                                "eval_n": r["n"]})
             if preempted:
                 # partial epoch: no epoch-loss entry, no epoch checkpoint —
                 # the preemption save above already holds the resume point
@@ -327,12 +340,24 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
         num_threads=cfg.data.num_tokenizer_threads,
         shard_shuffle=cfg.data.shard_shuffle,
         skip_batches=trainer.host_step * cfg.train.optim.grad_accum)
+    eval_fn = None
+    if cfg.train.eval_every and cfg.data.valid_pattern:
+        from ..eval.evaluate import evaluate
+        from .step import make_eval_step
+        eval_shards = fs_glob(cfg.data.valid_pattern)
+        eval_step = jax.jit(make_eval_step(cfg, trainer.model))
+
+        def eval_fn(state):
+            return evaluate(cfg, trainer.model, state.trainable,
+                            state.frozen, state.batch_stats, eval_shards,
+                            packer=packer, eval_step=eval_step,
+                            max_batches=cfg.train.eval_max_batches or None)
     try:
         with PreemptionGuard() as guard:
             result = trainer.fit(iter(loader), ckpt=ckpt,
                                  start_epoch=start_epoch,
                                  start_opt_step=start_opt_step,
-                                 preempt=guard)
+                                 preempt=guard, eval_fn=eval_fn)
         if result.get("preempted"):
             print(f"[preempt] SIGTERM: checkpointed at host_step="
                   f"{trainer.host_step}; rerun with --train.resume=true "

@@ -357,3 +357,49 @@ def test_no_recompile_on_second_step():
     assert np.isfinite(float(m["loss"]))
     assert trainer.train_step._cache_size() == 1, \
         f"step retraced: {trainer.train_step._cache_size()} cache entries"
+
+
+def test_mid_training_eval(tmp_path):
+    """train.eval_every: validation AUC entries land in the metric stream
+    at the configured cadence, and the training math is unperturbed (same
+    losses as an eval-free run on the same batch stream)."""
+    import json
+    import os
+    from mmoe_multimodal_rec_tpu.train.loop import train_from_config
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+
+    cfg = tiny_config("baseline")
+    write_synthetic_shards(str(tmp_path / "shards"), n_samples=32,
+                           samples_per_shard=16, seed=3)
+    cfg.data.train_pattern = str(tmp_path / "shards" / "*.tar.gz")
+    cfg.data.valid_pattern = str(tmp_path / "shards" / "*.tar.gz")
+    cfg.train.epochs = 1
+    cfg.train.steps_per_epoch = 8          # micro-steps -> 4 opt steps
+    cfg.train.eval_every = 2
+    cfg.train.eval_max_batches = 2
+    cfg.train.log_every = 1
+    cfg.train.resume = False
+    cfg.train.output_dir = str(tmp_path / "out")
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    res = train_from_config(cfg)
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(cfg.train.output_dir, "metrics.jsonl"))]
+    evals = [l for l in lines if "eval_auc_good" in l]
+    assert len(evals) == 2                 # opt steps 2 and 4
+    for e in evals:
+        assert 0.0 <= e["eval_auc_good"] <= 1.0
+        assert e["eval_n"] == 2 * cfg.train.batch_size
+
+    # identical losses without eval (eval must not perturb training)
+    cfg2 = tiny_config("baseline")
+    cfg2.data.train_pattern = cfg.data.train_pattern
+    cfg2.train.epochs = 1
+    cfg2.train.steps_per_epoch = 8
+    cfg2.train.log_every = 1
+    cfg2.train.resume = False
+    cfg2.train.output_dir = str(tmp_path / "out2")
+    cfg2.train.checkpoint_dir = str(tmp_path / "ckpt2")
+    res2 = train_from_config(cfg2)
+    np.testing.assert_allclose(res["history"]["loss"],
+                               res2["history"]["loss"], rtol=1e-6)
