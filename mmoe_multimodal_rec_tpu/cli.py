@@ -258,6 +258,56 @@ def cmd_synth(argv: List[str]) -> int:
     return 0
 
 
+def cmd_ckpt_info(argv: List[str]) -> int:
+    """Inspect an orbax checkpoint directory without building a model:
+    steps present, resume position, payload composition, frozen-base
+    fingerprint — the ops view of train/checkpoint.py's layout."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="orbax dir (defaults to train.checkpoint_dir)")
+    cfg_flags, rest = _split_flags(argv)
+    args = ap.parse_args(rest)
+    cfg = Config.from_flags(cfg_flags)
+
+    import os
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(args.checkpoint or cfg.train.checkpoint_dir)
+    if not os.path.isdir(directory):
+        raise FileNotFoundError(directory)
+    mngr = ocp.CheckpointManager(directory)
+    steps = sorted(int(s) for s in mngr.all_steps())
+    info = {"directory": directory, "steps": steps,
+            "latest_step": steps[-1] if steps else None}
+    fp_path = os.path.join(directory, "frozen_once.fingerprint.json")
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            info["frozen_fingerprint"] = json.load(f)["sha256"][:16]
+        info["frozen_once"] = os.path.isdir(
+            os.path.join(directory, "frozen_once"))
+    if steps:
+        saved = mngr.restore(steps[-1])
+        extra = saved.get("extra", {})
+        info["resume"] = {k: int(v) for k, v in extra.items()}
+        counts = {}
+        nbytes = {}
+        for part in ("trainable", "batch_stats", "opt_state"):
+            leaves = [x for x in jax.tree.leaves(saved.get(part) or {})
+                      if hasattr(x, "size")]
+            counts[part] = int(sum(int(np.size(x)) for x in leaves))
+            nbytes[part] = int(sum(
+                int(np.size(x)) * np.dtype(getattr(x, "dtype", np.float32)
+                                           ).itemsize for x in leaves))
+        info["param_counts"] = counts
+        info["payload_mb"] = {k: round(v / 1e6, 1) for k, v in nbytes.items()}
+    mngr.close()
+    print(json.dumps(info))
+    return 0
+
+
 def cmd_validate(argv: List[str]) -> int:
     """Scan shards and report drop/degradation reasons + label/image stats.
     The loaders (and the reference, train.py:54) drop malformed samples
@@ -406,6 +456,7 @@ COMMANDS = {
     "serve": cmd_serve,
     "pretokenize": cmd_pretokenize,
     "validate": cmd_validate,
+    "ckpt-info": cmd_ckpt_info,
 }
 
 

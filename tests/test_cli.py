@@ -102,3 +102,28 @@ def test_cli_train_resume_eval(tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["n"] == 48
     assert 0.0 <= res["auc_good"] <= 1.0 or np.isnan(res["auc_good"])
+
+
+def test_ckpt_info(tmp_path, capsys):
+    """ckpt-info reports steps, resume position, payload composition and
+    the frozen fingerprint without building a model."""
+    import json
+    from mmoe_multimodal_rec_tpu.cli import main as cli_main
+    from mmoe_multimodal_rec_tpu.train import CheckpointManager, Trainer
+    from util import stacked_batch, tiny_config
+
+    cfg = tiny_config("baseline")
+    trainer = Trainer(cfg)
+    trainer.run_step(stacked_batch(cfg, seed=0))
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    mngr.save(1, trainer.state,
+              extra={"epoch": 0, "opt_step_in_epoch": 1, "host_step": 1},
+              wait=True)
+    mngr.close()
+    rc = cli_main(["ckpt-info", "--checkpoint", str(tmp_path / "ck")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["steps"] == [1] and out["latest_step"] == 1
+    assert out["resume"]["opt_step_in_epoch"] == 1
+    assert out["param_counts"]["trainable"] > 0
+    assert out["frozen_once"] is True and out["frozen_fingerprint"]
