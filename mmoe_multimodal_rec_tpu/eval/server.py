@@ -187,6 +187,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
+            if length > self.app.max_body_bytes:
+                self._json(413, {"error": f"body too large ({length} > "
+                                          f"{self.app.max_body_bytes})"})
+                return
             body = json.loads(self.rfile.read(length) or b"{}")
         except (ValueError, json.JSONDecodeError) as e:
             self._json(400, {"error": f"invalid JSON body: {e}"})
@@ -217,8 +221,10 @@ class _Handler(BaseHTTPRequestHandler):
 class PredictionServer:
     def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000,
                  max_wait_ms: float = 5.0, request_timeout_s: float = 60.0,
-                 model_info: Optional[Dict] = None):
+                 model_info: Optional[Dict] = None,
+                 max_body_bytes: int = 64 << 20):
         self.predictor = predictor
+        self.max_body_bytes = max_body_bytes
         self.batcher = MicroBatcher(predictor, max_wait_ms)
         self.request_timeout_s = request_timeout_s
         self.model_info = model_info or {}

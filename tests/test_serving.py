@@ -163,3 +163,12 @@ def test_home_variant_serving():
                        ["tent for camping", "bike"])
     np.testing.assert_allclose(float(two["prob_good"][0]),
                                float(out["prob_good"][0]), atol=1e-5)
+
+
+def test_oversized_body_rejected(server):
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request("POST", "/v1/predict", body=b"x",
+                 headers={"Content-Type": "application/json",
+                          "Content-Length": str(1 << 31)})
+    assert conn.getresponse().status == 413
+    conn.close()
