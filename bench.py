@@ -49,7 +49,11 @@ def wait_for_device(budget_s: float, probe_timeout_s: float = 240.0) -> bool:
     import sys
     deadline = time.time() + budget_s
     attempt = 0
-    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    # inherit the environment UNCHANGED (incl. JAX_PLATFORMS): the probe
+    # must exercise the exact backend the bench will use — stripping the
+    # platform pin could let the probe "pass" on CPU while the real run
+    # still hangs on the TPU claim
+    env = dict(os.environ)
     while True:
         attempt += 1
         left = deadline - time.time()
