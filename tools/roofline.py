@@ -94,6 +94,79 @@ def mm_rate(m, k, n, quant_epilogue=False):
     return ms, 2 * m * k * n / (ms / 1e3) / 1e12
 
 
+def mm_rate_orient(m, k, n, orient):
+    """Time [m,k(,n)] dots in the three layouts that occur in the step:
+      nn     — y = x@W:        dot(a[m,k], b[k,n], contract (1,0))  (fwd)
+      nt     — dx = g@W^T:     dot(a[m,n], b[k,n], contract (1,1))  (what
+               autodiff emits for the backward-dx of x@W)
+      nt_pre — dx = g@Wt:      dot(a[m,n], bt[n,k], contract (1,0)) with
+               the transpose MATERIALIZED once outside the loop (the
+               candidate fix: pre-transposed weights refreshed per step)
+    Returns (ms/op, TF/s).  All three perform 2*m*k*n FLOPs."""
+    rng = np.random.default_rng(0)
+    if orient == "nn":
+        a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+    elif orient == "nt":
+        a = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.bfloat16)
+        dims = (((1,), (1,)), ((), ()))
+    elif orient == "nt_pre":
+        a = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((n, k)) * 0.02, jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+    else:
+        raise ValueError(orient)
+
+    def body(acc, a, b):
+        y = jax.lax.dot_general(a + acc, b, dims,
+                                preferred_element_type=jnp.float32)
+        return y[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-9)
+
+    ms = timed_ms(_chain(body), a, b)
+    return ms, 2 * m * k * n / (ms / 1e3) / 1e12
+
+
+def dx_orientation_study():
+    """ROADMAP round-3 experiment (a): is the in-step matmul gap (601 ms
+    actual vs 485 ms floor) explained by the backward-dx orientation, and
+    would once-per-step pre-transposed weights buy it back?  Prints
+    nn/nt/nt_pre rates for the three dx shape classes of the text encoder;
+    the floor assembly prices dx at the nn rate, so (nt - nn) x count is
+    the orientation share of the gap and (nt - nt_pre) x count is the
+    recoverable part."""
+    cases = {
+        # (name, m, k, n): dx of y=x@W with W[k,n] -> out [m,k]
+        "dx_proj": (M_SIDE, D, D),
+        "dx_fc1": (M_SIDE, D, F),    # g[m,3072] x W[768,3072]
+        "dx_fc2": (M_SIDE, F, D),    # g[m,768]  x W[3072,768]
+    }
+    out = {}
+    # per-step instance counts (48 text layer-instances: 12 layers x 2
+    # sides x 2 micros): 4 proj-class dx (q,k,v,out), 1 fc1, 1 fc2
+    counts = {"dx_proj": 48 * 4, "dx_fc1": 48, "dx_fc2": 48}
+    gap_orient = gap_recover = 0.0
+    for name, (m, k, n) in cases.items():
+        row = {}
+        for orient in ("nn", "nt", "nt_pre"):
+            ms, tf = mm_rate_orient(m, k, n, orient)
+            row[orient] = (ms, tf)
+            out[f"{name}_{orient}_ms"] = round(ms, 3)
+            out[f"{name}_{orient}_tfs"] = round(tf, 1)
+        print(f"{name:8s} [{m},{k}x{n}]  "
+              + "  ".join(f"{o}: {row[o][0]:.3f} ms ({row[o][1]:.0f} TF/s)"
+                          for o in ("nn", "nt", "nt_pre")))
+        gap_orient += counts[name] * (row["nt"][0] - row["nn"][0])
+        gap_recover += counts[name] * (row["nt"][0] - row["nt_pre"][0])
+    out["dx_gap_orientation_ms_per_step"] = round(gap_orient, 1)
+    out["dx_gap_recoverable_ms_per_step"] = round(gap_recover, 1)
+    print(f"\norientation share of the matmul gap: {gap_orient:.0f} ms/step; "
+          f"recoverable via pre-transposed weights: {gap_recover:.0f} ms/step")
+    print(json.dumps(out))
+    return out
+
+
 def lora_chain(m):
     """fwd delta [m,D]@[D,R]@[R,D] + bwd dw pair, as in training."""
     rng = np.random.default_rng(0)
@@ -155,6 +228,16 @@ def attn_kernel(chunks, heads, l, dh, bwd=False):
 
 
 def main():
+    import sys
+    if "--tiny" in sys.argv:
+        # CPU smoke of the harness (shapes small enough for this 1-core
+        # host; numbers meaningless)
+        global ITERS, M_SIDE, M_VIT, D, F
+        ITERS, M_SIDE, M_VIT, D, F = 4, 256, 128, 64, 128
+        jax.config.update("jax_platforms", "cpu")
+    if "--dx" in sys.argv:
+        dx_orientation_study()
+        return
     res = {}
     res["hbm_copy_gbps"] = round(copy_bw(), 1)
     print(f"HBM add-copy bandwidth: {res['hbm_copy_gbps']} GB/s")
