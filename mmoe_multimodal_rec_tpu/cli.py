@@ -396,6 +396,10 @@ def cmd_serve(argv: List[str]) -> int:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch-size", type=int, default=None,
                     help="serving batch shape (default train.batch_size)")
+    ap.add_argument("--buckets", type=str, default=None,
+                    help="comma-separated ascending batch buckets (e.g. "
+                         "4,16,64): small requests pad to the smallest "
+                         "fitting bucket instead of the full batch")
     ap.add_argument("--max-wait-ms", type=float, default=5.0,
                     help="micro-batching window for coalescing concurrent "
                          "requests into one device batch")
@@ -409,13 +413,17 @@ def cmd_serve(argv: List[str]) -> int:
 
     state = _restore_for_inference(cfg, args.checkpoint, args.reference_ckpt,
                                    "serve")
+    buckets = ([int(x) for x in args.buckets.split(",")]
+               if args.buckets else None)
     predictor = Predictor(cfg, state.trainable, state.frozen,
                           state.batch_stats, batch_size=args.batch_size,
-                          merge_lora=not args.no_merge_lora)
-    # compile before accepting traffic (first request would otherwise wait
-    # out the full jit compile)
-    print("[serve] warmup compile...", flush=True)
-    predictor.predict(["warmup"], ["warmup"])
+                          merge_lora=not args.no_merge_lora,
+                          buckets=buckets)
+    # compile every bucket before accepting traffic (the first request on
+    # a cold shape would otherwise wait out a full jit compile)
+    print(f"[serve] warmup compile (buckets {predictor.buckets})...",
+          flush=True)
+    predictor.warmup()
     server = PredictionServer(
         predictor, host=args.host, port=args.port,
         max_wait_ms=args.max_wait_ms,

@@ -27,13 +27,28 @@ from ..train.optimizer import merge_params
 class Predictor:
     def __init__(self, cfg: Config, trainable, frozen, batch_stats=None,
                  batch_size: Optional[int] = None,
-                 tokenizer=None, merge_lora: bool = True):
+                 tokenizer=None, merge_lora: bool = True,
+                 buckets: Optional[Sequence[int]] = None):
         """merge_lora: fold the trained LoRA adapters into the base kernels
         (exact at deterministic inference — utils/lora.py) so the text
-        attention layers take the packed-qkv kernel path."""
+        attention layers take the packed-qkv kernel path.
+
+        buckets: ascending batch-size buckets (e.g. [4, 16, 64]); each
+        predict() pads to the smallest bucket >= n, so low-traffic
+        requests don't pay full-batch compute.  One jit serves all
+        buckets (XLA caches one executable per shape); warmup() compiles
+        them ahead of traffic.  Default: the single [batch_size] bucket."""
         self.cfg = cfg
         model_cfg = cfg.model
         self.batch_size = batch_size or cfg.train.batch_size
+        self.buckets = sorted(buckets) if buckets else [self.batch_size]
+        self.batch_size = self.buckets[-1]
+        # per-sample chunk allowance (train chunk_budget is for
+        # train.batch_size samples; scale per bucket)
+        cb = cfg.model.packer.chunk_budget
+        self._chunks_per_sample = (
+            max(1, cb // cfg.train.batch_size) if cb
+            else cfg.model.packer.max_chunks_per_sample)
         self.packer = TextPacker(
             tokenizer or load_best_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size),
             cfg.model.packer)
@@ -59,16 +74,21 @@ class Predictor:
         return cls(cfg, state.trainable, state.frozen, state.batch_stats,
                    **kw)
 
+    def warmup(self) -> None:
+        """Compile every bucket shape before accepting traffic."""
+        for b in self.buckets:
+            self.predict(["warmup"] * b, ["warmup"] * b)
+
     def predict(self, user_texts: Sequence[str], item_texts: Sequence[str],
                 patches: Optional[np.ndarray] = None,
                 has_image: Optional[np.ndarray] = None
                 ) -> Dict[str, np.ndarray]:
-        """Score up to batch_size pairs; shorter inputs are padded and the
-        padding discarded from the result."""
+        """Score up to batch_size pairs; inputs pad to the smallest bucket
+        >= n and the padding is discarded from the result."""
         n = len(user_texts)
         assert len(item_texts) == n
         assert n <= self.batch_size, (n, self.batch_size)
-        b = self.batch_size
+        b = next(s for s in self.buckets if s >= n)
         pad = b - n
         user_texts = list(user_texts) + [""] * pad
         item_texts = list(item_texts) + [""] * pad
@@ -82,8 +102,9 @@ class Predictor:
         has_image = np.concatenate([has_image.astype(np.int32),
                                     np.zeros(pad, np.int32)])
 
-        u = self.packer.pack(user_texts, self.cfg.model.packer.chunk_budget)
-        i = self.packer.pack(item_texts, self.cfg.model.packer.chunk_budget)
+        budget = b * self._chunks_per_sample
+        u = self.packer.pack(user_texts, budget)
+        i = self.packer.pack(item_texts, budget)
         batch = {
             "user_tokens": u.tokens, "user_sent_chunk": u.sent_chunk,
             "user_sent_tok": u.sent_tok,

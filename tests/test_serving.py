@@ -172,3 +172,25 @@ def test_oversized_body_rejected(server):
                           "Content-Length": str(1 << 31)})
     assert conn.getresponse().status == 413
     conn.close()
+
+
+def test_bucketed_predictor_matches_across_buckets():
+    """Bucket choice never changes scores (per-sample independence):
+    1 instance via bucket 2 == same instance via the full bucket; the
+    healthz/micro-batcher cap is the largest bucket."""
+    cfg = tiny_config("baseline")
+    trainer = Trainer(cfg)
+    tok = tiny_tokenizer(cfg)
+    bucketed = Predictor.from_state(cfg, trainer.state, tokenizer=tok,
+                                    buckets=[2, 4])
+    single = Predictor.from_state(cfg, trainer.state, tokenizer=tok,
+                                  batch_size=4)
+    assert bucketed.batch_size == 4
+    a = bucketed.predict(["one review"], ["one item"])     # -> bucket 2
+    b = single.predict(["one review"], ["one item"])       # -> bucket 4
+    np.testing.assert_allclose(float(a["prob_good"][0]),
+                               float(b["prob_good"][0]), atol=1e-5)
+    c = bucketed.predict(["one review"] * 3, ["one item"] * 3)  # -> 4
+    np.testing.assert_allclose(float(c["prob_good"][0]),
+                               float(a["prob_good"][0]), atol=1e-5)
+    bucketed.warmup()   # compiles both shapes without error
