@@ -166,6 +166,11 @@ class _Handler(BaseHTTPRequestHandler):
         return self.server.app  # type: ignore[attr-defined]
 
     def _json(self, code: int, payload: Dict) -> None:
+        if code >= 400:
+            # error paths may leave request-body bytes unread (e.g. the
+            # 413 reject), which would desync HTTP/1.1 keep-alive — drop
+            # the connection instead
+            self.close_connection = True
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
