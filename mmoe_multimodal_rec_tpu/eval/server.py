@@ -101,6 +101,16 @@ class MicroBatcher:
         self._stopped = True
         self._q.put(None)
         self._thread.join(timeout=10)
+        # submissions that raced the close sentinel would otherwise wait
+        # out the full request timeout — fail them immediately
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None:
+                p.error = "server shutting down"
+                p.event.set()
 
     # ------------------------------------------------------------------
     def _run(self) -> None:
