@@ -403,3 +403,73 @@ def test_mid_training_eval(tmp_path):
     res2 = train_from_config(cfg2)
     np.testing.assert_allclose(res["history"]["loss"],
                                res2["history"]["loss"], rtol=1e-6)
+
+
+def test_preempt_eval_checkpoint_compose(tmp_path):
+    """Preemption + mid-training eval + periodic checkpoints compose: a
+    preempted-and-resumed run with eval_every produces the same LOSS
+    stream as an unbroken eval-free run (eval never perturbs training,
+    eval cadence realigns after resume)."""
+    import json
+    import os
+    from mmoe_multimodal_rec_tpu.train.loop import train_from_config
+    from mmoe_multimodal_rec_tpu.train.preemption import PreemptionGuard
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+
+    def base_cfg(tag):
+        cfg = tiny_config("baseline")
+        cfg.data.train_pattern = str(tmp_path / "shards" / "*.tar.gz")
+        cfg.train.epochs = 1
+        cfg.train.steps_per_epoch = 12           # 6 opt steps
+        cfg.train.log_every = 1
+        cfg.train.output_dir = str(tmp_path / f"out_{tag}")
+        cfg.train.checkpoint_dir = str(tmp_path / f"ckpt_{tag}")
+        return cfg
+
+    write_synthetic_shards(str(tmp_path / "shards"), n_samples=64,
+                           samples_per_shard=32, seed=4)
+
+    cfg = base_cfg("ref")
+    cfg.train.resume = False
+    ref = train_from_config(cfg)
+    assert len(ref["history"]["loss"]) == 6
+
+    cfg = base_cfg("pre")
+    cfg.train.resume = True
+    cfg.data.valid_pattern = cfg.data.train_pattern
+    cfg.train.eval_every = 2
+    cfg.train.eval_max_batches = 1
+    cfg.train.checkpoint_every = 2
+
+    # monkey-install a guard that fires after 3 opt steps via the logger
+    import mmoe_multimodal_rec_tpu.train.loop as loop_mod
+    real_guard = PreemptionGuard()
+    orig_enter = PreemptionGuard.__enter__
+    fired = {"n": 0}
+
+    class FiringGuard(PreemptionGuard):
+        @property
+        def requested(self):
+            fired["n"] += 1
+            # each opt step polls once; request on the 4th poll
+            return fired["n"] > 3
+
+    loop_mod_guard = loop_mod.PreemptionGuard
+    loop_mod.PreemptionGuard = FiringGuard
+    try:
+        part1 = train_from_config(cfg)
+    finally:
+        loop_mod.PreemptionGuard = loop_mod_guard
+    assert part1["preempted"] is True
+    n1 = len(part1["history"]["loss"])
+    assert 0 < n1 < 6
+
+    part2 = train_from_config(cfg)       # resume with the normal guard
+    assert part2["preempted"] is False
+    resumed_losses = part1["history"]["loss"] + part2["history"]["loss"]
+    np.testing.assert_allclose(resumed_losses, ref["history"]["loss"],
+                               rtol=1e-6)
+    # eval entries exist in the metric stream
+    lines = [json.loads(l) for l in
+             open(os.path.join(cfg.train.output_dir, "metrics.jsonl"))]
+    assert any("eval_auc_good" in l for l in lines)
