@@ -404,6 +404,10 @@ def cmd_serve(argv: List[str]) -> int:
                     help="micro-batching window for coalescing concurrent "
                          "requests into one device batch")
     ap.add_argument("--no-merge-lora", action="store_true")
+    ap.add_argument("--recalibrate-bn", action="store_true",
+                    help="refresh HoME BatchNorm running stats over "
+                         "data.valid_pattern before serving (same pass as "
+                         "eval --recalibrate-bn)")
     cfg_flags, rest = _split_flags(argv)
     args = ap.parse_args(rest)
     cfg = Config.from_flags(cfg_flags)
@@ -413,6 +417,27 @@ def cmd_serve(argv: List[str]) -> int:
 
     state = _restore_for_inference(cfg, args.checkpoint, args.reference_ckpt,
                                    "serve")
+    if args.recalibrate_bn:
+        from .data.native_tokenizer import load_best_tokenizer
+        from .data.packer import TextPacker
+        from .eval.evaluate import recalibrate_bn
+        from .models.mmoe import MMoERecModel
+
+        shards = fs_glob(cfg.data.valid_pattern)
+        if not shards:
+            raise FileNotFoundError(
+                f"--recalibrate-bn needs data.valid_pattern shards "
+                f"(no match for {cfg.data.valid_pattern!r})")
+        packer = TextPacker(load_best_tokenizer(cfg.data.vocab_path,
+                                                cfg.model.text.vocab_size),
+                            cfg.model.packer)
+        print("[serve] recalibrating BatchNorm running stats...", flush=True)
+        new_stats = recalibrate_bn(
+            cfg, MMoERecModel(cfg.model), state.trainable, state.frozen,
+            state.batch_stats, shards, packer,
+            total_samples=22281,  # ref infer_auc_HoME:166 (full valid split)
+            bn_batch_size=cfg.train.batch_size)
+        state = state.replace(batch_stats=new_stats)
     buckets = ([int(x) for x in args.buckets.split(",")]
                if args.buckets else None)
     predictor = Predictor(cfg, state.trainable, state.frozen,
