@@ -229,6 +229,9 @@ class DataConfig:
     num_prefetch: int = 4            # host->device pipeline depth
     num_tokenizer_threads: int = 2
     vocab_path: Optional[str] = None # WordPiece vocab.txt (BGE/BERT format)
+    on_shard_error: str = "skip"     # train loader: "skip" (log + continue
+                                     # past a corrupt shard) or "raise";
+                                     # eval is always strict
     # feature-engineering knobs (ref data4moe_beam.py)
     neg_k: int = 5
     five_star_keep_rate: float = 0.2

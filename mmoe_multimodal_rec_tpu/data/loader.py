@@ -36,13 +36,41 @@ def split_shards(paths: Sequence[str], host_index: int,
     return [p for i, p in enumerate(paths) if i % host_count == host_index]
 
 
+def _iter_shard_guarded(path: str, on_error: str):
+    """iter_shard with shard-granular error containment (corrupt gzip /
+    truncated tar / transient IO)."""
+    import sys
+    import tarfile
+    import zlib
+    it = iter_shard(path)
+    while True:
+        try:
+            yield next(it)
+        except StopIteration:
+            return
+        except (tarfile.TarError, EOFError, OSError, ValueError,
+                zlib.error) as e:
+            if on_error != "skip":
+                raise
+            print(f"[loader] WARNING: skipping rest of corrupt shard "
+                  f"{path!r}: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            return
+
+
 def iter_decoded(paths: Sequence[str], *, shuffle: bool = False,
                  shuffle_buffer: int = 512, repeat: bool = False,
-                 seed: int = 0, shard_shuffle: Optional[bool] = None
-                 ) -> Iterator[dict]:
+                 seed: int = 0, shard_shuffle: Optional[bool] = None,
+                 on_shard_error: str = "raise") -> Iterator[dict]:
     """Stream decoded samples from tar shards.  `shard_shuffle` (default:
     follow `shuffle`) controls shard-ORDER shuffling separately from the
-    sample shuffle buffer (== wds shardshuffle, ref train.py:46)."""
+    sample shuffle buffer (== wds shardshuffle, ref train.py:46).
+
+    `on_shard_error="skip"`: a corrupt/truncated shard is logged loudly
+    and skipped instead of killing the run — one bad file must not end a
+    multi-epoch training job.  Determinism under resume holds: the same
+    corrupt file skips identically on replay.  Default "raise" (metrics
+    consumers like eval must not silently shrink their denominator)."""
     rng = random.Random(seed)
     epoch = 0
     if shard_shuffle is None:
@@ -53,7 +81,7 @@ def iter_decoded(paths: Sequence[str], *, shuffle: bool = False,
             rng.shuffle(shard_order)
         buf: List[dict] = []
         for path in shard_order:
-            for raw in iter_shard(path):
+            for raw in _iter_shard_guarded(path, on_shard_error):
                 sample = decode_sample(raw)
                 if sample is None:
                     continue
@@ -225,14 +253,21 @@ def make_train_loader(shard_paths: Sequence[str], batch_size: int,
                       seed: int = 0, chunk_budget: Optional[int] = None,
                       num_prefetch: int = 4, num_threads: int = 2,
                       skip_batches: int = 0,
-                      shard_shuffle: bool = True) -> BatchLoader:
+                      shard_shuffle: bool = True,
+                      on_shard_error: str = "skip") -> BatchLoader:
     """`skip_batches`: deterministic resume fast-forward — the decoded
     sample stream is a pure function of (paths, seed), so skipping
     skip_batches * batch_size samples reproduces the loader position of a
-    checkpointed run without re-packing the skipped batches."""
+    checkpointed run without re-packing the skipped batches.
+
+    `on_shard_error` defaults to "skip" for TRAINING: one corrupt shard
+    logs loudly and is skipped rather than killing a multi-epoch run
+    (the eval loader stays strict — a silently shrunk denominator would
+    corrupt reported metrics)."""
     paths = split_shards(shard_paths, host_index, host_count)
     it = iter_decoded(paths, shuffle=True, shuffle_buffer=shuffle_buffer,
-                      repeat=True, seed=seed, shard_shuffle=shard_shuffle)
+                      repeat=True, seed=seed, shard_shuffle=shard_shuffle,
+                      on_shard_error=on_shard_error)
     if skip_batches:
         import itertools
         it = itertools.islice(it, skip_batches * batch_size, None)

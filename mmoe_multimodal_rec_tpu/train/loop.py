@@ -339,6 +339,7 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
         num_prefetch=cfg.data.num_prefetch,
         num_threads=cfg.data.num_tokenizer_threads,
         shard_shuffle=cfg.data.shard_shuffle,
+        on_shard_error=cfg.data.on_shard_error,
         skip_batches=trainer.host_step * cfg.train.optim.grad_accum)
     eval_fn = None
     if cfg.train.eval_every and cfg.data.valid_pattern:

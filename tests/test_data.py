@@ -388,3 +388,28 @@ def test_explain_sample_and_validate_cli(tmp_path):
                        str(tmp_path / "s" / "*.tar.gz")])
     out = json.loads(buf.getvalue())
     assert rc == 0 and out["dropped"] == 0
+
+
+def test_corrupt_shard_skipped_in_training_strict_in_eval(tmp_path):
+    """A truncated shard mid-list: the train loader logs + skips it and
+    keeps streaming (one bad file must not kill a multi-epoch run); the
+    strict default raises."""
+    import pytest
+    from mmoe_multimodal_rec_tpu.data.loader import iter_decoded
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+
+    paths = write_synthetic_shards(str(tmp_path), n_samples=48,
+                                   samples_per_shard=16, seed=13)
+    # truncate the middle shard (valid gzip header, torn stream)
+    import os
+    data = open(paths[1], "rb").read()
+    with open(paths[1], "wb") as f:
+        f.write(data[:len(data) // 3])
+
+    got = list(iter_decoded(paths, shuffle=False, repeat=False,
+                            on_shard_error="skip"))
+    # both intact shards fully present; possibly a prefix of the torn one
+    assert 32 <= len(got) < 48
+
+    with pytest.raises(Exception):
+        list(iter_decoded(paths, shuffle=False, repeat=False))
