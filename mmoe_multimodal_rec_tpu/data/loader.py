@@ -37,8 +37,13 @@ def split_shards(paths: Sequence[str], host_index: int,
 
 
 def _iter_shard_guarded(path: str, on_error: str):
-    """iter_shard with shard-granular error containment (corrupt gzip /
-    truncated tar / transient IO)."""
+    """iter_shard with shard-granular containment of DETERMINISTIC
+    corruption (bad gzip stream, truncated/garbled tar, torn sidecar).
+    Transient I/O errors (plain OSError) always raise: skipping on a
+    flaky read would desync the replayed stream and break the
+    deterministic-resume invariant that skip_batches fast-forward relies
+    on — a retry/restart reproduces the stream, a skip would not."""
+    import gzip
     import sys
     import tarfile
     import zlib
@@ -48,8 +53,8 @@ def _iter_shard_guarded(path: str, on_error: str):
             yield next(it)
         except StopIteration:
             return
-        except (tarfile.TarError, EOFError, OSError, ValueError,
-                zlib.error) as e:
+        except (tarfile.TarError, EOFError, zlib.error, gzip.BadGzipFile,
+                ValueError) as e:
             if on_error != "skip":
                 raise
             print(f"[loader] WARNING: skipping rest of corrupt shard "

@@ -99,8 +99,17 @@ def pretokenize_samples(samples: Iterable[dict], packer) -> Iterable[dict]:
         user = sample.get("user.json", b"")
         item = sample.get("item.json", b"")
         if user and item:
-            usents = tokenize_text(user.decode("utf-8").strip(), packer)
-            isents = tokenize_text(item.decode("utf-8").strip(), packer)
+            try:
+                utext = user.decode("utf-8").strip()
+                itext = item.decode("utf-8").strip()
+            except UnicodeDecodeError:
+                # the loaders merely DROP undecodable samples
+                # (decode_sample returns None); one such sample must not
+                # abort a multi-shard rewrite — pass it through unchanged
+                yield sample
+                continue
+            usents = tokenize_text(utext, packer)
+            isents = tokenize_text(itext, packer)
             sample = dict(sample)
             sample["utok.bin"] = encode_sent_tokens(usents, max_len, vocab)
             sample["itok.bin"] = encode_sent_tokens(isents, max_len, vocab)

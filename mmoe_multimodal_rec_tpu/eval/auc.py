@@ -73,6 +73,9 @@ class StreamingPredictions:
         self.n += int(valid.sum())
 
     def concatenated(self, task: str) -> Tuple[np.ndarray, np.ndarray]:
+        if not self._labels[task]:   # zero batches streamed -> empty, not
+            return (np.zeros(0, np.float32),  # np.concatenate ValueError
+                    np.zeros(0, np.float32))
         return (np.concatenate(self._labels[task]),
                 np.concatenate(self._probs[task]))
 

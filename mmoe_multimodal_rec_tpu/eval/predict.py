@@ -40,14 +40,19 @@ class Predictor:
         them ahead of traffic.  Default: the single [batch_size] bucket."""
         self.cfg = cfg
         model_cfg = cfg.model
-        self.batch_size = batch_size or cfg.train.batch_size
-        self.buckets = sorted(buckets) if buckets else [self.batch_size]
+        base = batch_size or cfg.train.batch_size
+        # an explicit batch_size is a capacity promise — union it into the
+        # buckets rather than silently capping at buckets[-1]
+        self.buckets = (sorted(set(buckets) | ({base} if batch_size else
+                                               set()))
+                        if buckets else [base])
         self.batch_size = self.buckets[-1]
-        # per-sample chunk allowance (train chunk_budget is for
-        # train.batch_size samples; scale per bucket)
+        # per-sample chunk allowance (train chunk_budget covers
+        # train.batch_size samples; CEIL so no bucket ever packs with a
+        # smaller per-sample budget than offline eval used)
         cb = cfg.model.packer.chunk_budget
         self._chunks_per_sample = (
-            max(1, cb // cfg.train.batch_size) if cb
+            -(-cb // cfg.train.batch_size) if cb
             else cfg.model.packer.max_chunks_per_sample)
         self.packer = TextPacker(
             tokenizer or load_best_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size),

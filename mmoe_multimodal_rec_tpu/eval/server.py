@@ -84,6 +84,10 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._stopped = False
+        # serializes submit vs close: without it a submit could pass the
+        # stopped check, get descheduled across close()'s whole drain, and
+        # enqueue into a dead queue — waiting out the full request timeout
+        self._submit_lock = threading.Lock()
         self.batches_run = 0
         self.instances_run = 0
         self._thread = threading.Thread(target=self._run, daemon=True,
@@ -91,18 +95,20 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, instance: Dict[str, Any]) -> _Pending:
-        if self._stopped:
-            raise RuntimeError("MicroBatcher is closed")
-        p = _Pending(instance)
-        self._q.put(p)
-        return p
+        with self._submit_lock:
+            if self._stopped:
+                raise RuntimeError("MicroBatcher is closed")
+            p = _Pending(instance)
+            self._q.put(p)
+            return p
 
     def close(self) -> None:
-        self._stopped = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._stopped = True
+            self._q.put(None)
         self._thread.join(timeout=10)
-        # submissions that raced the close sentinel would otherwise wait
-        # out the full request timeout — fail them immediately
+        # items enqueued before the sentinel that the dispatcher did not
+        # reach would otherwise wait out the full request timeout
         while True:
             try:
                 p = self._q.get_nowait()
@@ -220,9 +226,17 @@ class _Handler(BaseHTTPRequestHandler):
         except BadInstance as e:
             self._json(400, {"error": str(e)})
             return
-        pendings = [self.app.batcher.submit(p) for p in parsed]
+        try:
+            pendings = [self.app.batcher.submit(p) for p in parsed]
+        except RuntimeError:
+            self._json(503, {"error": "server shutting down"})
+            return
+        # ONE deadline for the whole request, not per-instance (k
+        # sequential waits would multiply the worst-case latency by k)
+        deadline = time.monotonic() + self.app.request_timeout_s
         for p in pendings:
-            if not p.event.wait(timeout=self.app.request_timeout_s):
+            remaining = deadline - time.monotonic()
+            if remaining <= 0 or not p.event.wait(timeout=remaining):
                 self._json(504, {"error": "prediction timed out"})
                 return
         errors = [p.error for p in pendings if p.error]

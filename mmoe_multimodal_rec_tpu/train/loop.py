@@ -218,8 +218,13 @@ class Trainer:
                     # drain pending metrics, write a durable checkpoint at
                     # the exact resume position, and return cleanly.  The
                     # completed work is opt steps < opt_step of this epoch.
+                    # A periodic/epoch save may already sit at this exact
+                    # host_step — orbax refuses to re-save an existing step
+                    # (StepAlreadyExistsError), and that checkpoint already
+                    # holds the right position, so skip in that case.
                     flush()
-                    if ckpt is not None:
+                    if ckpt is not None and \
+                            ckpt.latest_step() != self.host_step:
                         ckpt.save(self.host_step, self.state,
                                   extra=self._resume_extra(epoch, opt_step),
                                   wait=True)
@@ -346,6 +351,11 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
         from ..eval.evaluate import evaluate
         from .step import make_eval_step
         eval_shards = fs_glob(cfg.data.valid_pattern)
+        if not eval_shards:
+            # fail at STARTUP, not eval_every opt steps into the run
+            raise FileNotFoundError(
+                f"train.eval_every is set but no shards match "
+                f"data.valid_pattern={cfg.data.valid_pattern!r}")
         eval_step = jax.jit(make_eval_step(cfg, trainer.model))
 
         def eval_fn(state):

@@ -194,3 +194,17 @@ def test_bucketed_predictor_matches_across_buckets():
     np.testing.assert_allclose(float(c["prob_good"][0]),
                                float(a["prob_good"][0]), atol=1e-5)
     bucketed.warmup()   # compiles both shapes without error
+
+
+def test_explicit_batch_size_unioned_into_buckets():
+    """--batch-size is a capacity promise: it joins the bucket set instead
+    of being silently capped by buckets[-1]."""
+    cfg = tiny_config("baseline")
+    trainer = Trainer(cfg)
+    pred = Predictor.from_state(cfg, trainer.state,
+                                tokenizer=tiny_tokenizer(cfg),
+                                batch_size=6, buckets=[2, 4])
+    assert pred.buckets == [2, 4, 6]
+    assert pred.batch_size == 6
+    out = pred.predict(["r"] * 5, ["i"] * 5)   # > 4 -> the 6 bucket
+    assert len(out["prob_good"]) == 5

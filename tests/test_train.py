@@ -473,3 +473,63 @@ def test_preempt_eval_checkpoint_compose(tmp_path):
     lines = [json.loads(l) for l in
              open(os.path.join(cfg.train.output_dir, "metrics.jsonl"))]
     assert any("eval_auc_good" in l for l in lines)
+
+
+def test_preemption_at_already_saved_step(tmp_path):
+    """SIGTERM right after a periodic save at the same host_step: the
+    preemption path must not re-save (orbax StepAlreadyExistsError) — it
+    exits cleanly on the existing checkpoint."""
+    import signal
+    from mmoe_multimodal_rec_tpu.train.preemption import PreemptionGuard
+    from util import packed_batch
+
+    cfg = tiny_config("baseline")
+    cfg.train.output_dir = str(tmp_path / "out")
+    cfg.train.checkpoint_every = 2    # save lands at opt steps 2, 4, ...
+    accum = cfg.train.optim.grad_accum
+    micros = [packed_batch(cfg, seed=i) for i in range(6 * accum)]
+
+    class Fire3(PreemptionGuard):
+        """requested flips true after 2 opt-step polls, i.e. exactly when
+        the periodic save at host_step=2 already exists."""
+        def __init__(self):
+            super().__init__()
+            self.polls = 0
+
+        @property
+        def requested(self):
+            self.polls += 1
+            return self.polls > 2
+
+    t = Trainer(cfg)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    res = t.fit(iter(micros), epochs=1, steps_per_epoch=6 * accum,
+                ckpt=ckpt, preempt=Fire3())
+    assert res["preempted"] is True
+    assert ckpt.latest_step() == t.host_step == 2   # reused, not re-saved
+    ckpt.close()
+
+
+def test_eval_every_empty_valid_pattern_fails_at_startup(tmp_path):
+    from mmoe_multimodal_rec_tpu.train.loop import train_from_config
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+
+    cfg = tiny_config("baseline")
+    write_synthetic_shards(str(tmp_path / "s"), n_samples=16,
+                           samples_per_shard=16, seed=1)
+    cfg.data.train_pattern = str(tmp_path / "s" / "*.tar.gz")
+    cfg.data.valid_pattern = str(tmp_path / "nope" / "*.tar.gz")
+    cfg.train.eval_every = 2
+    cfg.train.output_dir = str(tmp_path / "out")
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    with pytest.raises(FileNotFoundError, match="valid_pattern"):
+        train_from_config(cfg)
+
+
+def test_streaming_predictions_empty_is_nan():
+    from mmoe_multimodal_rec_tpu.eval.auc import StreamingPredictions
+    p = StreamingPredictions()
+    aucs = p.aucs()
+    assert np.isnan(aucs["good"]) and np.isnan(aucs["best"])
+    labels, probs = p.concatenated("good")
+    assert labels.size == 0 and probs.size == 0
