@@ -127,3 +127,86 @@ def test_ckpt_info(tmp_path, capsys):
     assert out["resume"]["opt_step_in_epoch"] == 1
     assert out["param_counts"]["trainable"] > 0
     assert out["frozen_once"] is True and out["frozen_fingerprint"]
+
+
+@pytest.mark.slow
+def test_full_offline_dag_feeds_training(tmp_path, capsys):
+    """The REAL offline DAG end to end: raw meta/review jsonl -> features
+    CLI (causal feats, negatives, time split) -> build-dataset CLI (prompt
+    templates, tar shards) -> validate -> pretokenize -> train 2 steps ->
+    eval.  Everything upstream of training exists in reference-parity
+    form; this pins the whole chain's INTEGRATION (authentic built texts
+    through decode -> split -> pack -> model), which the synth-shard
+    tests bypass."""
+    meta_path = tmp_path / "meta.jsonl"
+    rev_path = tmp_path / "reviews.jsonl"
+    with open(meta_path, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({"parent_asin": f"p{i}",
+                                "main_category": "Sports",
+                                "title": f"Trail Item {i}",
+                                "price": 5.0 + i,
+                                "features": ["Light.", "Durable."],
+                                "description": ["Good for hiking trips."],
+                                "images": [{"hi_res": f"http://x/{i}"}]}) + "\n")
+    with open(rev_path, "w") as f:
+        for u in range(4):
+            for j in range(4):
+                f.write(json.dumps({
+                    "user_id": f"u{u}", "parent_asin": f"p{(u + j) % 8}",
+                    "rating": 3 + (j % 3), "title": "solid",
+                    "text": "Pretty solid gear. Took it camping twice. "
+                            "Zippers held up fine.",
+                    "sort_timestamp": 1670000000000 + j * 86400000}) + "\n")
+    assert cli_main(["features", "--meta", str(meta_path),
+                     "--reviews", str(rev_path),
+                     "--output", str(tmp_path / "feat"),
+                     "--neg-k", "1", "--rate-5", "1.0"]) == 0
+    capsys.readouterr()
+    assert cli_main(["build-dataset",
+                     "--rows", str(tmp_path / "feat" / "train" / "*.jsonl"),
+                     "--output", str(tmp_path / "wds"),
+                     "--samples-per-shard", "16"]) == 0
+    capsys.readouterr()
+
+    pattern = str(tmp_path / "wds" / "*.tar.gz")
+    assert cli_main(["validate", "--input", pattern]) == 0   # zero drops
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ok"] == report["samples"] > 0
+
+    tiny = [
+        "--train.batch_size=2", "--train.optim.grad_accum=1",
+        "--train.mesh.data_parallel=1",
+        "--model.d=32", "--model.compute_dtype=float32",
+        "--model.use_flash_attention=false",
+        "--model.cross_heads=4", "--model.fuse_heads=4",
+        "--model.tower_hidden=16",
+        "--model.text.vocab_size=201", "--model.text.hidden_size=32",
+        "--model.text.num_layers=2", "--model.text.num_heads=4",
+        "--model.text.intermediate_size=64",
+        "--model.text.max_position_embeddings=48",
+        "--model.text.lora_rank=2",
+        "--model.image.hidden_size=32", "--model.image.num_layers=2",
+        "--model.image.num_heads=4", "--model.image.intermediate_size=64",
+        "--model.packer.max_tok=24", "--model.packer.max_chunks_per_sample=2",
+        "--model.packer.fixed_sent_count=6",
+    ]
+    assert cli_main(["pretokenize", "--input", pattern,
+                     "--output", str(tmp_path / "wds_tok")] + tiny) == 0
+    capsys.readouterr()
+    tok_pattern = str(tmp_path / "wds_tok" / "*.tar.gz")
+    assert cli_main(["train",
+                     f"--data.train_pattern={tok_pattern}",
+                     f"--train.checkpoint_dir={tmp_path}/ckpt",
+                     f"--train.output_dir={tmp_path}/out",
+                     "--train.epochs=1", "--train.steps_per_epoch=2",
+                     "--train.log_every=1"] + tiny) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["epoch_losses"]) == 1
+    assert np.isfinite(out["epoch_losses"][0])
+    assert cli_main(["eval",
+                     f"--data.valid_pattern={tok_pattern}",
+                     f"--train.checkpoint_dir={tmp_path}/ckpt",
+                     f"--train.output_dir={tmp_path}/out"] + tiny) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n"] == report["samples"]
