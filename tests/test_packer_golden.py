@@ -141,3 +141,49 @@ def test_reference_quirks_actually_trigger(tmp_path, monkeypatch):
     # the <SENT> markers were all clamped to [PAD] (model.py:101-109)
     flat = {t for row in ids for t in row}
     assert tok.sent_id not in flat and tok.pad_id in flat
+
+
+@pytest.mark.slow
+def test_packer_fuzz_vs_executed_reference(tmp_path, monkeypatch):
+    """Property-based sweep: random word-soup documents (vocab words, OOV
+    junk, punctuation, degenerate empties) through random packer configs —
+    the static packer must equal the EXECUTED reference on every draw.
+    Complements the engineered cases above with unplanned compositions."""
+    from hypothesis import given, settings, strategies as st
+
+    ref = load_reference_module("model.py")
+    monkeypatch.setattr(ref, "nltk_sentence_split", split_sentences)
+    tok = WordPieceTokenizer.from_vocab_file(_vocab_file(tmp_path))
+
+    words = ("the bike helmet was great tent light fits strap broke good "
+             "works perfect price quality durable waterproof compact "
+             "zzzq xyzzy b0rked").split()
+    sentence = st.lists(st.sampled_from(words), min_size=1, max_size=12) \
+        .map(lambda ws: " ".join(ws) + ".")
+    document = st.lists(sentence, min_size=0, max_size=10) \
+        .map(" ".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts=st.lists(document, min_size=1, max_size=5),
+           max_tok=st.sampled_from([16, 24, 32]),
+           max_chunks=st.sampled_from([1, 2, 4]),
+           tight_budget=st.booleans())
+    def check(texts, max_tok, max_chunks, tight_budget):
+        S = 8
+        full = len(texts) * max_chunks
+        budget = max(1, full // 2) if tight_budget else full
+        ref_out = ref.preprocess_batch(texts, _HFShim(tok), max_tok,
+                                       max_chunks_per_sample=max_chunks,
+                                       fixed_sent_count=S)
+        want = _ref_to_static(ref_out, budget, max_tok, len(texts), S,
+                              tok.pad_id)
+        cfg = PackerConfig(max_tok=max_tok,
+                           max_chunks_per_sample=max_chunks,
+                           fixed_sent_count=S, chunk_budget=budget)
+        got = TextPacker(tok, cfg, splitter=split_sentences).pack(texts)
+        np.testing.assert_array_equal(got.tokens, want[0])
+        np.testing.assert_array_equal(got.sent_chunk, want[1])
+        np.testing.assert_array_equal(got.sent_tok, want[2])
+        assert got.n_chunks == want[3]
+
+    check()
