@@ -413,3 +413,42 @@ def test_corrupt_shard_skipped_in_training_strict_in_eval(tmp_path):
 
     with pytest.raises(Exception):
         list(iter_decoded(paths, shuffle=False, repeat=False))
+
+
+@pytest.mark.slow
+def test_wordpiece_fuzz_vs_hf(tmp_path):
+    """Property-based parity: random unicode-ish text through our
+    WordPiece (Python AND C++ when buildable) must match HF BertTokenizer
+    id-for-id — covers compositions the curated cases miss (mixed scripts,
+    stray controls, punctuation runs, long words)."""
+    from hypothesis import given, settings, strategies as st
+    from transformers import BertTokenizer
+
+    path = _vocab_file(tmp_path)
+    hf = BertTokenizer(path, do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(path)
+    try:
+        from mmoe_multimodal_rec_tpu.data.native_tokenizer import \
+            NativeWordPieceTokenizer
+        native = NativeWordPieceTokenizer(path)
+    except Exception:
+        native = None
+
+    word = st.one_of(
+        st.sampled_from(["the", "bike", "helmet", "unbreakable", "1999",
+                         "DON'T", "café", "naïve", "bikes", "prices"]),
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyzé0123456789'",
+                min_size=1, max_size=14))
+    chunk = st.one_of(word, st.sampled_from([".", ",", "!!", "?", "—",
+                                             "...", "\t", "\n", "  "]))
+    doc = st.lists(chunk, min_size=0, max_size=20).map(" ".join)
+
+    @settings(max_examples=40, deadline=None)
+    @given(t=doc)
+    def check(t):
+        want = hf.encode(t, add_special_tokens=False)
+        assert ours.encode(t) == want, t
+        if native is not None:
+            assert native.encode(t) == want, t
+
+    check()
