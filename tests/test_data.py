@@ -452,3 +452,54 @@ def test_wordpiece_fuzz_vs_hf(tmp_path):
             assert native.encode(t) == want, t
 
     check()
+
+
+@pytest.mark.slow
+def test_decode_never_raises_fuzz(tmp_path):
+    """decode_sample is the crash barrier for the training stream: under
+    arbitrary member mutations (truncation, byte flips, dropped/renamed
+    keys, junk members) it must return a dict or None — never raise — and
+    explain_sample's verdict must agree with it."""
+    from hypothesis import given, settings, strategies as st
+    from mmoe_multimodal_rec_tpu.data.decode import (decode_sample,
+                                                     explain_sample)
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+    from mmoe_multimodal_rec_tpu.data.tar_io import iter_shard
+
+    paths = write_synthetic_shards(str(tmp_path), n_samples=8,
+                                   samples_per_shard=8, seed=21)
+    base = list(iter_shard(paths[0]))
+    keys = ["user.json", "item.json", "label.json", "misc.json",
+            "patch.bin", "utok.bin", "itok.bin"]
+
+    mutation = st.sampled_from(["drop", "truncate", "flip", "junk", "empty"])
+
+    @settings(max_examples=60, deadline=None)
+    @given(idx=st.integers(0, 7), key=st.sampled_from(keys), mut=mutation,
+           pos=st.integers(0, 10_000), data=st.binary(min_size=0,
+                                                      max_size=64))
+    def check(idx, key, mut, pos, data):
+        s = dict(base[idx])
+        if mut == "drop":
+            s.pop(key, None)
+        elif mut == "empty":
+            s[key] = b""
+        elif mut == "junk":
+            s[key] = data
+        elif key in s:
+            raw = bytearray(s[key])
+            if raw:
+                p = pos % len(raw)
+                if mut == "truncate":
+                    raw = raw[:p]
+                else:
+                    raw[p] ^= 0xFF
+            s[key] = bytes(raw)
+        dec = decode_sample(s)          # must not raise
+        rep = explain_sample(s)         # must not raise
+        assert (dec is not None) == (rep["status"] == "ok")
+        if dec is not None:
+            assert dec["patch"].shape == (196, 768)
+            assert 0 <= dec["label_good"] <= 1
+
+    check()
