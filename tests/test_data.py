@@ -503,3 +503,22 @@ def test_decode_never_raises_fuzz(tmp_path):
             assert 0 <= dec["label_good"] <= 1
 
     check()
+
+
+@pytest.mark.slow
+def test_sentence_splitter_fuzz_properties(tmp_path):
+    """split_sentences invariants under arbitrary text: never raises,
+    yields non-empty sentences, and loses no non-whitespace content
+    (sentences concatenate back to the input modulo whitespace)."""
+    from hypothesis import given, settings, strategies as st
+    from mmoe_multimodal_rec_tpu.data.sentence import split_sentences
+
+    @settings(max_examples=80, deadline=None)
+    @given(t=st.text(max_size=300))
+    def check(t):
+        sents = split_sentences(t)
+        assert all(isinstance(s, str) and s.strip() for s in sents)
+        squash = lambda x: "".join(x.split())
+        assert squash("".join(sents)) == squash(t)
+
+    check()
