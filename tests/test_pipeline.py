@@ -405,3 +405,32 @@ def test_beam_adapter_is_import_gated():
     if r.returncode == 77:
         pytest.skip("real apache_beam installed; gating not exercised")
     assert r.returncode == 0, r.stderr
+
+
+@pytest.mark.slow
+def test_normalize_and_join_fuzz_vs_reference():
+    """Property-based parity for the model-input text normalizers: random
+    unicode (quotes, dashes, HTML entities, control chars, whitespace
+    runs, mixed scripts) through our normalize_text/smart_join must equal
+    the reference's EXECUTED functions byte-for-byte."""
+    from hypothesis import given, settings, strategies as st
+    from util import load_reference_module
+    ref = load_reference_module("data4model.py")
+
+    atom = st.one_of(
+        st.text(max_size=20),
+        st.sampled_from(["“q”", "‘x’", "–", "—", "…", "&amp;", "&lt;",
+                         "​", "\x07", "  tabs\t\t", "\r\n", "naïve",
+                         "１２３", "line.\nnext", "no end", "..", "a.b.c."]))
+    blob = st.lists(atom, min_size=0, max_size=6).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(val=st.one_of(blob, st.lists(blob, min_size=0, max_size=4)))
+    def check(val):
+        assert normalize_text(val) == ref.normalize_text(val), val
+        if isinstance(val, list):
+            ours = smart_join([normalize_text(p) for p in val])
+            want = ref.smart_join([ref.normalize_text(p) for p in val])
+            assert ours == want, val
+
+    check()
