@@ -229,6 +229,14 @@ def measure_e2e(args):
                                        samples_per_shard=args.batch * 2)
         tokenizer = load_best_tokenizer(None, cfg.model.text.vocab_size)
         packer = TextPacker(tokenizer, cfg.model.packer)
+        if args.pretok:
+            # sidecar path: split+tokenize baked into the shards, loader
+            # runs only the greedy pack (data/pretokenize.py)
+            import os
+            from mmoe_multimodal_rec_tpu.data.pretokenize import \
+                pretokenize_shards
+            paths = pretokenize_shards(os.path.join(tmp, "*.tar.gz"),
+                                       os.path.join(tmp, "tok"), packer)
         loader = make_train_loader(
             paths, args.batch, packer,
             chunk_budget=cfg.model.packer.chunk_budget,
@@ -350,6 +358,10 @@ def main():
                     default=True,
                     help="inference: fold LoRA into base kernels (the "
                          "serving default, utils/lora.py)")
+    ap.add_argument("--pretok", action="store_true",
+                    help="e2e mode: bake pretokenized sidecars into the "
+                         "bench shards first (the production fast host "
+                         "path, data/pretokenize.py)")
     ap.add_argument("--remat-policy", type=str, default="quant",
                     choices=["full", "dots", "attn", "quant", "quant_fc1"],
                     help="production default is 'quant' (int8-saved "
