@@ -318,6 +318,7 @@ def cmd_validate(argv: List[str]) -> int:
                     help="stop after N samples (0 = all)")
     args = ap.parse_args(argv)
 
+    import itertools
     from collections import Counter
 
     from .data.decode import decode_sample, explain_sample
@@ -330,28 +331,24 @@ def cmd_validate(argv: List[str]) -> int:
     degraded: Counter = Counter()
     n = ok = has_img = pretok = 0
     pos_good = pos_best = 0.0
-    done = False
-    for path in shards:
-        if done:
-            break
-        for sample in iter_shard(path):
-            n += 1
-            rep = explain_sample(sample)
-            if rep["status"] == "ok":
-                ok += 1
-                dec = decode_sample(sample)
-                if dec is not None:
-                    has_img += dec["has_image"]
-                    pos_good += dec["label_good"]
-                    pos_best += dec["label_best"]
-                    pretok += int("user_sents" in dec)
-            else:
-                reasons[rep["reason"]] += 1
-            for d in rep["degraded"]:
-                degraded[d] += 1
-            if args.limit and n >= args.limit:
-                done = True
-                break
+    samples = itertools.chain.from_iterable(iter_shard(p) for p in shards)
+    if args.limit:
+        samples = itertools.islice(samples, args.limit)
+    for sample in samples:
+        n += 1
+        rep = explain_sample(sample)
+        if rep["status"] == "ok":
+            ok += 1
+            dec = decode_sample(sample)
+            if dec is not None:
+                has_img += dec["has_image"]
+                pos_good += dec["label_good"]
+                pos_best += dec["label_best"]
+                pretok += int("user_sents" in dec)
+        else:
+            reasons[rep["reason"]] += 1
+        for d in rep["degraded"]:
+            degraded[d] += 1
     print(json.dumps({
         "shards": len(shards), "samples": n, "ok": ok, "dropped": n - ok,
         "drop_reasons": dict(reasons), "degraded": dict(degraded),
@@ -374,14 +371,11 @@ def cmd_pretokenize(argv: List[str]) -> int:
     args = ap.parse_args(rest)
     cfg = Config.from_flags(cfg_flags)
 
-    from .data.native_tokenizer import load_best_tokenizer
-    from .data.packer import TextPacker
+    from .data.packer import packer_from_config
     from .data.pretokenize import pretokenize_shards
 
-    tokenizer = load_best_tokenizer(cfg.data.vocab_path,
-                                    cfg.model.text.vocab_size)
-    packer = TextPacker(tokenizer, cfg.model.packer)
-    paths = pretokenize_shards(args.input, args.output, packer)
+    paths = pretokenize_shards(args.input, args.output,
+                               packer_from_config(cfg))
     print(json.dumps({"shards": len(paths)}))
     return 0
 
@@ -418,8 +412,7 @@ def cmd_serve(argv: List[str]) -> int:
     state = _restore_for_inference(cfg, args.checkpoint, args.reference_ckpt,
                                    "serve")
     if args.recalibrate_bn:
-        from .data.native_tokenizer import load_best_tokenizer
-        from .data.packer import TextPacker
+        from .data.packer import packer_from_config
         from .eval.evaluate import recalibrate_bn
         from .models.mmoe import MMoERecModel
 
@@ -428,13 +421,10 @@ def cmd_serve(argv: List[str]) -> int:
             raise FileNotFoundError(
                 f"--recalibrate-bn needs data.valid_pattern shards "
                 f"(no match for {cfg.data.valid_pattern!r})")
-        packer = TextPacker(load_best_tokenizer(cfg.data.vocab_path,
-                                                cfg.model.text.vocab_size),
-                            cfg.model.packer)
         print("[serve] recalibrating BatchNorm running stats...", flush=True)
         new_stats = recalibrate_bn(
             cfg, MMoERecModel(cfg.model), state.trainable, state.frozen,
-            state.batch_stats, shards, packer,
+            state.batch_stats, shards, packer_from_config(cfg),
             total_samples=22281,  # ref infer_auc_HoME:166 (full valid split)
             bn_batch_size=cfg.train.batch_size)
         state = state.replace(batch_stats=new_stats)

@@ -178,6 +178,16 @@ class TextPacker:
                            sent_tok=sent_tok, n_chunks=chunk_row)
 
 
+def packer_from_config(cfg) -> TextPacker:
+    """Framework-wide packer factory from the root Config: vocab-file
+    tokenizer (native C++ when buildable, data/native_tokenizer.py) + the
+    config's packing caps.  Every CLI/driver entry builds its packer here."""
+    from .native_tokenizer import load_best_tokenizer
+    return TextPacker(load_best_tokenizer(cfg.data.vocab_path,
+                                          cfg.model.text.vocab_size),
+                      cfg.model.packer)
+
+
 def pack_pair(packer: TextPacker, user_texts: Sequence[str],
               item_texts: Sequence[str],
               chunk_budget: Optional[int] = None) -> Dict[str, np.ndarray]:

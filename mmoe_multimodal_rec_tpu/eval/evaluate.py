@@ -23,8 +23,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.loader import make_eval_loader
-from ..data.packer import TextPacker
-from ..data.native_tokenizer import load_best_tokenizer as load_tokenizer
+from ..data.packer import TextPacker, packer_from_config
 from ..models.mmoe import MMoERecModel
 from ..train.step import make_bn_recalibration_step, make_eval_step
 from ..utils.plotting import plot_roc
@@ -68,8 +67,7 @@ def evaluate(cfg: Config, model: MMoERecModel, trainable, frozen,
     `max_batches` bounds the streamed pass (mid-training monitoring);
     `eval_step` lets callers reuse one jitted step across repeated evals
     (a fresh jax.jit here would recompile on every call)."""
-    packer = packer or TextPacker(load_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size),
-                                  cfg.model.packer)
+    packer = packer or packer_from_config(cfg)
     batch_size = batch_size or cfg.train.batch_size
     if recalibrate:
         batch_stats = recalibrate_bn(

@@ -18,8 +18,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.decode import PATCH_SHAPE
-from ..data.packer import TextPacker
-from ..data.native_tokenizer import load_best_tokenizer
+from ..data.packer import TextPacker, packer_from_config
 from ..models.mmoe import MMoERecModel
 from ..train.optimizer import merge_params
 
@@ -54,9 +53,8 @@ class Predictor:
         self._chunks_per_sample = (
             -(-cb // cfg.train.batch_size) if cb
             else cfg.model.packer.max_chunks_per_sample)
-        self.packer = TextPacker(
-            tokenizer or load_best_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size),
-            cfg.model.packer)
+        self.packer = (TextPacker(tokenizer, cfg.model.packer) if tokenizer
+                       else packer_from_config(cfg))
         params = merge_params(trainable, frozen)
         if merge_lora and cfg.model.text.lora_rank > 0:
             from ..utils.lora import merge_lora as _merge, merged_model_config

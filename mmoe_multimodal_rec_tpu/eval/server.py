@@ -243,7 +243,7 @@ class _Handler(BaseHTTPRequestHandler):
         if errors:
             self._json(500, {"error": errors[0]})
             return
-        self.app.record_latency(time.monotonic() - t0, len(pendings))
+        self.app.record_latency(time.monotonic() - t0)
         self._json(200, {"predictions": [p.result for p in pendings]})
 
 
@@ -267,7 +267,7 @@ class PredictionServer:
     def port(self) -> int:
         return self.httpd.server_address[1]
 
-    def record_latency(self, seconds: float, n_instances: int) -> None:
+    def record_latency(self, seconds: float) -> None:
         with self._lat_lock:
             self.requests += 1
             self._latencies.append(seconds)

@@ -29,8 +29,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.loader import device_prefetch, make_train_loader
-from ..data.packer import TextPacker
-from ..data.native_tokenizer import load_best_tokenizer as load_tokenizer
+from ..data.packer import packer_from_config
 from ..models.mmoe import MMoERecModel
 from ..parallel.mesh import batch_shardings, make_mesh, param_shardings, replicated
 from ..utils.metrics import MetricsLogger, Throughput
@@ -314,8 +313,7 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
     if not shards:
         raise FileNotFoundError(
             f"no shards match {cfg.data.train_pattern!r}")
-    tokenizer = load_tokenizer(cfg.data.vocab_path, cfg.model.text.vocab_size)
-    packer = TextPacker(tokenizer, cfg.model.packer)
+    packer = packer_from_config(cfg)
     trainer = Trainer(cfg)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir)
     start_epoch, start_opt_step = 0, 0

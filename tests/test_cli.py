@@ -61,30 +61,16 @@ def test_cli_train_resume_eval(tmp_path, capsys):
     shards_dir = tmp_path / "wds"
     write_synthetic_shards(str(shards_dir), n_samples=48,
                            samples_per_shard=16, seed=1)
-    flags = [
+    from util import tiny_cli_flags
+    flags = tiny_cli_flags() + [
         f"--data.train_pattern={shards_dir}/*.tar.gz",
         f"--data.valid_pattern={shards_dir}/*.tar.gz",
         f"--train.checkpoint_dir={tmp_path}/ckpt",
         f"--train.output_dir={tmp_path}/out",
-        "--train.batch_size=4",
         "--train.epochs=1",
         "--train.steps_per_epoch=4",
         "--train.optim.grad_accum=2",
         "--train.mesh.data_parallel=2",
-        # tiny dims
-        "--model.d=32", "--model.compute_dtype=float32",
-        "--model.use_flash_attention=false",
-        "--model.cross_heads=4", "--model.fuse_heads=4",
-        "--model.tower_hidden=16",
-        "--model.text.vocab_size=201", "--model.text.hidden_size=32",
-        "--model.text.num_layers=2", "--model.text.num_heads=4",
-        "--model.text.intermediate_size=64",
-        "--model.text.max_position_embeddings=48",
-        "--model.text.lora_rank=2",
-        "--model.image.hidden_size=32", "--model.image.num_layers=2",
-        "--model.image.num_heads=4", "--model.image.intermediate_size=64",
-        "--model.packer.max_tok=24", "--model.packer.max_chunks_per_sample=2",
-        "--model.packer.fixed_sent_count=6",
     ]
     assert cli_main(["train"] + flags) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -174,22 +160,9 @@ def test_full_offline_dag_feeds_training(tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["ok"] == report["samples"] > 0
 
-    tiny = [
+    from util import tiny_cli_flags
+    tiny = tiny_cli_flags() + [
         "--train.batch_size=2", "--train.optim.grad_accum=1",
-        "--train.mesh.data_parallel=1",
-        "--model.d=32", "--model.compute_dtype=float32",
-        "--model.use_flash_attention=false",
-        "--model.cross_heads=4", "--model.fuse_heads=4",
-        "--model.tower_hidden=16",
-        "--model.text.vocab_size=201", "--model.text.hidden_size=32",
-        "--model.text.num_layers=2", "--model.text.num_heads=4",
-        "--model.text.intermediate_size=64",
-        "--model.text.max_position_embeddings=48",
-        "--model.text.lora_rank=2",
-        "--model.image.hidden_size=32", "--model.image.num_layers=2",
-        "--model.image.num_heads=4", "--model.image.intermediate_size=64",
-        "--model.packer.max_tok=24", "--model.packer.max_chunks_per_sample=2",
-        "--model.packer.fixed_sent_count=6",
     ]
     assert cli_main(["pretokenize", "--input", pattern,
                      "--output", str(tmp_path / "wds_tok")] + tiny) == 0

@@ -126,3 +126,30 @@ def stacked_batch(cfg: Config, seed: int = 0):
     accum = cfg.train.optim.grad_accum
     micros = [packed_batch(cfg, seed=seed * 100 + i) for i in range(accum)]
     return stack_micro_batches(micros)
+
+
+def tiny_cli_flags(variant: str = "baseline"):
+    """The tiny-dims dotted-flag set matching tiny_config(), for tests
+    that drive the real CLI (three copies of this list used to drift)."""
+    flags = [
+        "--train.batch_size=4", "--train.mesh.data_parallel=1",
+        "--model.d=32", "--model.compute_dtype=float32",
+        "--model.use_flash_attention=false",
+        "--model.cross_heads=4", "--model.fuse_heads=4",
+        "--model.tower_hidden=16",
+        "--model.text.vocab_size=201", "--model.text.hidden_size=32",
+        "--model.text.num_layers=2", "--model.text.num_heads=4",
+        "--model.text.intermediate_size=64",
+        "--model.text.max_position_embeddings=48",
+        "--model.text.lora_rank=2",
+        "--model.image.hidden_size=32", "--model.image.num_layers=2",
+        "--model.image.num_heads=4", "--model.image.intermediate_size=64",
+        "--model.packer.max_tok=24",
+        "--model.packer.max_chunks_per_sample=2",
+        "--model.packer.fixed_sent_count=6",
+    ]
+    if variant != "baseline":
+        flags += [f"--model.variant={variant}",
+                  "--model.home_tower_hidden=16",
+                  "--model.home_expert_hidden=24"]
+    return flags
