@@ -4,10 +4,18 @@ Reference: model_HoME.py:28-35 (ExpertMLP), :224-243 (FeatureGate/SelfGate),
 :530-638 (HOME_MMoE_Complete), train_HoME.py:100-116 (HomeExpertWrapper,
 the BatchNorm+SiLU+Dropout wrapper applied to each of the six expert vectors).
 
-BatchNorm under data parallelism uses per-replica batch statistics like the
-reference's DDP (each GPU normalizes its own micro-batch; running stats are
-whatever the local replica saw) — eval parity is recovered by the
-BN-recalibration pass (eval/evaluate.py, ref infer_auc_HoME:64-125).
+BatchNorm under data parallelism: the SPMD step sees logically-GLOBAL
+arrays, so each micro-batch's BN statistics are computed over the whole
+global micro-batch (XLA inserts the data-axis psums; verified in the
+dryrun HLO).  This deliberately DIFFERS from the reference's DDP, where
+each GPU normalizes only its local share and keeps its own running stats
+(train_HoME.py:100-116 under DDP) — global-batch statistics are lower
+variance, and at 1 device the two coincide (the tested parity case).
+Either way eval parity is recovered by the BN-recalibration pass
+(eval/evaluate.py, ref infer_auc_HoME:64-125), which refreshes running
+stats in a single stream.  Pinned by tests/test_home_bn.py::
+test_bn_stats_are_global_batch_under_dp; see also the analogous
+contrastive-pool note in docs/DESIGN.md.
 """
 from __future__ import annotations
 

@@ -5,9 +5,15 @@ params, per-GPU shard-split data, allreduce grads.  Here parallelism is SPMD
 over a `jax.sharding.Mesh` with two axes:
 
 - `data`: pure data parallelism.  Batches shard on their leading batch axis;
-  jit/XLA inserts the single gradient psum over ICI (the `lax.scan` grad
-  accumulation in train/step.py keeps it to ONE collective per optimizer
-  step — the ICI analogue of DDP `no_sync`, train.py:266-277).
+  jit/XLA inserts the gradient psums over ICI.  The `lax.scan` grad
+  accumulation in train/step.py presents XLA with ONE combined
+  gradient-sized reduction per micro-batch (measured: ~1.0x trainable
+  params per scan iteration, merged into a handful of tuple all-reduces —
+  the functional analogue of DDP `no_sync`+bucketing, train.py:266-277; at
+  this model scale the per-micro reduction is <1% of step time, and XLA's
+  WhileLoopAllReduceCodeMotion pass may hoist the accumulation out of the
+  loop on TPU pipelines.  docs/DESIGN.md "Gradient collectives under grad
+  accumulation" has the full measured analysis).
 - `model`: optional Megatron-style tensor parallelism for the encoder
   matmuls: attention q/k/v and MLP fc1 column-parallel, attention out and
   fc2 row-parallel; XLA inserts the matching all-reduces.  The 110M-param

