@@ -49,6 +49,7 @@ def wait_for_device(budget_s: float, probe_timeout_s: float = 240.0) -> bool:
     import sys
     deadline = time.time() + budget_s
     attempt = 0
+    fast_fails = 0
     # inherit the environment UNCHANGED (incl. JAX_PLATFORMS): the probe
     # must exercise the exact backend the bench will use — stripping the
     # platform pin could let the probe "pass" on CPU while the real run
@@ -59,18 +60,37 @@ def wait_for_device(budget_s: float, probe_timeout_s: float = 240.0) -> bool:
         left = deadline - time.time()
         if left <= 0:
             return False
+        t_probe = time.time()
         try:
-            rc = subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 timeout=min(probe_timeout_s, left), env=env,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL).returncode
-            if rc == 0:
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+            if proc.returncode == 0:
                 return True
+            # A probe that DIES quickly is not a wedged grant — it's a
+            # broken jax install / bad env; surface the real error and
+            # fail fast instead of burning the whole wait budget on a
+            # misleading "timed out" loop (ADVICE r3).
+            err = proc.stderr.decode("utf-8", "replace").strip()
+            tail = err.splitlines()[-1] if err else f"rc={proc.returncode}"
+            if time.time() - t_probe < 0.25 * probe_timeout_s:
+                fast_fails += 1
+                print(f"[bench] device probe {attempt} FAILED fast "
+                      f"(rc={proc.returncode}): {tail}",
+                      file=sys.stderr, flush=True)
+                if fast_fails >= 3:
+                    print("[bench] 3 fast probe failures — not a wedged "
+                          "grant; aborting the wait", file=sys.stderr,
+                          flush=True)
+                    return False
+            else:
+                print(f"[bench] device probe {attempt} failed slowly "
+                      f"(rc={proc.returncode}): {tail}; retrying",
+                      file=sys.stderr, flush=True)
         except subprocess.TimeoutExpired:
-            pass
-        print(f"[bench] device probe {attempt} timed out; retrying",
-              file=sys.stderr, flush=True)
+            print(f"[bench] device probe {attempt} timed out; retrying",
+                  file=sys.stderr, flush=True)
         time.sleep(5)
 
 

@@ -402,6 +402,12 @@ def cmd_serve(argv: List[str]) -> int:
                     help="refresh HoME BatchNorm running stats over "
                          "data.valid_pattern before serving (same pass as "
                          "eval --recalibrate-bn)")
+    ap.add_argument("--recal-samples", type=int, default=None,
+                    help="cap the recalibration stream at this many samples "
+                         "(default: one full pass over data.valid_pattern — "
+                         "the count derives from the data; the reference's "
+                         "22281, infer_auc_HoME:166, is just its full valid "
+                         "split)")
     cfg_flags, rest = _split_flags(argv)
     args = ap.parse_args(rest)
     cfg = Config.from_flags(cfg_flags)
@@ -425,7 +431,7 @@ def cmd_serve(argv: List[str]) -> int:
         new_stats = recalibrate_bn(
             cfg, MMoERecModel(cfg.model), state.trainable, state.frozen,
             state.batch_stats, shards, packer_from_config(cfg),
-            total_samples=22281,  # ref infer_auc_HoME:166 (full valid split)
+            total_samples=args.recal_samples,
             bn_batch_size=cfg.train.batch_size)
         state = state.replace(batch_stats=new_stats)
     buckets = ([int(x) for x in args.buckets.split(",")]

@@ -229,6 +229,12 @@ class DataConfig:
     num_prefetch: int = 4            # host->device pipeline depth
     num_tokenizer_threads: int = 2
     vocab_path: Optional[str] = None # WordPiece vocab.txt (BGE/BERT format)
+    # Guard against silently tokenizing REAL text with the deterministic
+    # hash stand-in (data/wordpiece.HashTokenizer): production entry points
+    # (train/eval/serve/pretokenize) ERROR when vocab_path is unset unless
+    # this is explicitly true (synthetic corpora / tests / benchmarks).
+    # The reference always loads a real vocab (ref train.py:102-103).
+    allow_hash_tokenizer: bool = False
     on_shard_error: str = "skip"     # train loader: "skip" (log + continue
                                      # past a corrupt shard) or "raise";
                                      # eval is always strict
@@ -331,6 +337,7 @@ def tiny_config(variant: str = "baseline", batch_size: int = 4,
     tr.optim.home_unfreeze_steps = 2
     tr.mesh.data_parallel = data_parallel
     tr.mesh.model_parallel = model_parallel
+    cfg.data.allow_hash_tokenizer = True   # tests run on synthetic corpora
     return cfg
 
 

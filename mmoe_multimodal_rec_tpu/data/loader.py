@@ -42,25 +42,52 @@ def _iter_shard_guarded(path: str, on_error: str):
     Transient I/O errors (plain OSError) always raise: skipping on a
     flaky read would desync the replayed stream and break the
     deterministic-resume invariant that skip_batches fast-forward relies
-    on — a retry/restart reproduces the stream, a skip would not."""
+    on — a retry/restart reproduces the stream, a skip would not.
+
+    On REMOTE shards (gs:// etc. via fsspec) the decode-level exception
+    types can ALSO be transient — a truncated network read surfaces as
+    EOFError/zlib.error, not OSError — so before skipping, the shard is
+    re-opened ONCE and fast-forwarded past the samples already yielded;
+    only an error that reproduces is treated as corruption (ADVICE r3).
+    A successful retry leaves the emitted stream identical to an
+    error-free read, preserving deterministic resume."""
     import gzip
     import sys
     import tarfile
     import zlib
+    decode_errors = (tarfile.TarError, EOFError, zlib.error,
+                     gzip.BadGzipFile, ValueError)
+    remote = "://" in path
+    yielded = 0
+    retried = False
     it = iter_shard(path)
     while True:
         try:
-            yield next(it)
+            item = next(it)
         except StopIteration:
             return
-        except (tarfile.TarError, EOFError, zlib.error, gzip.BadGzipFile,
-                ValueError) as e:
+        except decode_errors as e:
             if on_error != "skip":
                 raise
+            if remote and not retried:
+                retried = True
+                print(f"[loader] WARNING: read error in remote shard "
+                      f"{path!r} after {yielded} samples "
+                      f"({type(e).__name__}: {e}); retrying once before "
+                      f"declaring corruption", file=sys.stderr, flush=True)
+                try:
+                    it = iter_shard(path)
+                    for _ in range(yielded):
+                        next(it)
+                    continue
+                except (StopIteration, OSError, *decode_errors) as e2:
+                    e = e2
             print(f"[loader] WARNING: skipping rest of corrupt shard "
                   f"{path!r}: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
             return
+        yielded += 1
+        yield item
 
 
 def iter_decoded(paths: Sequence[str], *, shuffle: bool = False,

@@ -199,6 +199,10 @@ def load_best_tokenizer(vocab_path: Optional[str],
             return NativeWordPieceTokenizer(vocab_path)
         except Exception:
             return WordPieceTokenizer.from_vocab_file(vocab_path)
+    import sys
+    print("[tokenizer] WARNING: no vocab_path — using the vocab-free "
+          "HashTokenizer stand-in (synthetic/benchmark use only; real text "
+          "gets meaningless ids)", file=sys.stderr, flush=True)
     from .wordpiece import HashTokenizer
     return HashTokenizer(vocab_size=(model_vocab_size - 1)
                          if model_vocab_size else 30522)

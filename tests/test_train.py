@@ -533,3 +533,46 @@ def test_streaming_predictions_empty_is_nan():
     assert np.isnan(aucs["good"]) and np.isnan(aucs["best"])
     labels, probs = p.concatenated("good")
     assert labels.size == 0 and probs.size == 0
+
+
+def test_frozen_fingerprint_guard(tmp_path):
+    """Stale-base guard hardening (ADVICE r3): (a) EVERY frozen leaf is
+    content-sampled, so two snapshots differing in any single leaf get
+    different fingerprints (the old stride sampler read ~1/16 of leaves);
+    (b) when a pre-upgrade run dir has frozen_once/ but no fingerprint
+    file, the backfill verifies the CURRENT tree against the tensors ON
+    DISK instead of blindly locking in the in-memory fingerprint."""
+    from mmoe_multimodal_rec_tpu.train.checkpoint import frozen_fingerprint
+
+    cfg = tiny_config("baseline")
+    trainer = Trainer(cfg)
+    frozen = {k: np.asarray(v) for k, v in trainer.state.frozen.items()}
+    fp0 = frozen_fingerprint(frozen)
+    keys = sorted(frozen)
+    assert len(keys) > 17, "tiny frozen tree too small for the stride check"
+    # perturb ONE leaf at an index the old i%stride==0 sampler skipped
+    swapped = dict(frozen)
+    arr = np.array(swapped[keys[1]], np.float32)
+    arr.flat[0] += 1.0
+    swapped[keys[1]] = arr
+    assert frozen_fingerprint(swapped) != fp0
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(1, trainer.state, wait=True)
+    fp_path = tmp_path / "ckpt" / "frozen_once.fingerprint.json"
+    assert fp_path.exists()
+
+    # simulate a pre-upgrade dir: fingerprint file missing
+    fp_path.unlink()
+    bad_state = trainer.state.replace(frozen=swapped)
+    with pytest.raises(ValueError, match="frozen"):
+        mngr.save(2, bad_state, wait=True)
+    assert not fp_path.exists()
+
+    # a matching tree backfills the fingerprint from the on-disk tensors
+    mngr.save(2, trainer.state, wait=True)
+    assert fp_path.exists()
+    # and the normal mismatch path still fires with the file present
+    with pytest.raises(ValueError, match="frozen"):
+        mngr.save(3, bad_state, wait=True)
+    mngr.close()

@@ -147,6 +147,7 @@ def tiny_cli_flags(variant: str = "baseline"):
         "--model.packer.max_tok=24",
         "--model.packer.max_chunks_per_sample=2",
         "--model.packer.fixed_sent_count=6",
+        "--data.allow_hash_tokenizer=true",
     ]
     if variant != "baseline":
         flags += [f"--model.variant={variant}",
