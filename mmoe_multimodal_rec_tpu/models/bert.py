@@ -34,6 +34,7 @@ class BertLayer(nn.Module):
     # producing matmuls (see models/layers.resolve_remat_policy / quant_save)
     quant_save_qkv: bool = False
     quant_save_fc1: bool = False
+    quant_fc1_bits: int = 8
 
     @nn.compact
     def __call__(self, x: Array, pad_mask: Optional[Array],
@@ -58,6 +59,7 @@ class BertLayer(nn.Module):
                 dropout=0.0, out_dropout=cfg.hidden_dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 quant_save=self.quant_save_fc1,
+                quant_bits=self.quant_fc1_bits,
                 name="mlp")(x.astype(self.dtype), deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="output_norm")(x + h.astype(x.dtype))
@@ -75,6 +77,7 @@ class _ScanBertLayer(nn.Module):
     use_flash: bool = False
     quant_save_qkv: bool = False
     quant_save_fc1: bool = False
+    quant_fc1_bits: int = 8
 
     @nn.compact
     def __call__(self, x: Array, pad_mask: Optional[Array],
@@ -83,6 +86,7 @@ class _ScanBertLayer(nn.Module):
                       param_dtype=self.param_dtype, use_flash=self.use_flash,
                       quant_save_qkv=self.quant_save_qkv,
                       quant_save_fc1=self.quant_save_fc1,
+                      quant_fc1_bits=self.quant_fc1_bits,
                       name="layer")(x, pad_mask, deterministic)
         return y, ()
 
@@ -125,8 +129,10 @@ class BertEncoder(nn.Module):
         x = x.astype(self.dtype)
         # jax.checkpoint per layer trades recompute for HBM when training
         # full-size encoders; see resolve_remat_policy for the policies.
-        qkv_s = self.remat and self.remat_policy == "quant"
-        fc1_s = self.remat and self.remat_policy in ("quant", "quant_fc1")
+        qkv_s = self.remat and self.remat_policy in ("quant", "quant4")
+        fc1_s = self.remat and self.remat_policy in ("quant", "quant4",
+                                                     "quant_fc1")
+        fc1_bits = 4 if self.remat_policy == "quant4" else 8
         if cfg.scan_layers:
             # ONE compiled layer body driven by lax.scan over stacked
             # [num_layers, ...] params, instead of num_layers unrolled
@@ -146,7 +152,7 @@ class BertEncoder(nn.Module):
                            length=cfg.num_layers)
             x, _ = scan(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                         use_flash=self.use_flash, quant_save_qkv=qkv_s,
-                        quant_save_fc1=fc1_s,
+                        quant_save_fc1=fc1_s, quant_fc1_bits=fc1_bits,
                         name="layers")(x, pad_mask, deterministic)
             return x
         layer_cls = BertLayer
@@ -157,6 +163,6 @@ class BertEncoder(nn.Module):
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash, quant_save_qkv=qkv_s,
-                          quant_save_fc1=fc1_s,
+                          quant_save_fc1=fc1_s, quant_fc1_bits=fc1_bits,
                           name=f"layer_{i}")(x, pad_mask, deterministic)
         return x

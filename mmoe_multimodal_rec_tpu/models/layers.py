@@ -59,6 +59,14 @@ def resolve_remat_policy(name: str):
         return jax.checkpoint_policies.save_only_these_names(
             "attn_res", "q_q8", "q_sc", "k_q8", "k_sc", "v_q8", "v_sc",
             "qkv_q8", "qkv_sc", "fc1_q8", "fc1_sc")
+    if name == "quant4":
+        # "quant" with the fc1 preact (the single largest save: [M, 4D])
+        # packed to int4 — halves its HBM write+read.  q/k/v stay int8:
+        # attention scores are far more sensitive to projection noise than
+        # gelu' is to preact noise (gated in tests/test_quant_convergence).
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_res", "q_q8", "q_sc", "k_q8", "k_sc", "v_q8", "v_sc",
+            "qkv_q8", "qkv_sc", "fc1_q4", "fc1_sc")
     if name == "quant_fc1":
         # fc1-preact-only ablation: per-op trace accounting suggested the
         # qkv int8 saves were net-negative (54 ms matmul saved vs ~84 ms
@@ -93,26 +101,56 @@ def _vwgt_bwd(_, g):
 _value_with_grad_to.defvjp(_vwgt_fwd, _vwgt_bwd)
 
 
-def quant_save(x: Array, name: str) -> Array:
-    """Per-row symmetric int8 quantize -> checkpoint-save -> dequantize.
+def quant_save(x: Array, name: str, bits: int = 8) -> Array:
+    """Per-row symmetric int8/int4 quantize -> checkpoint-save -> dequantize.
 
-    Used by the "quant" remat policy: the int8 tensor (+ the fp32 per-row
-    scale) is what jax.checkpoint stores, so the backward pass dequantizes
-    instead of recomputing the producing matmul.  The forward consumes the
-    dequantized value (max per-element error = scale/2 = rowmax/254);
-    gradients pass straight through to the exact pre-quantization value.
+    Used by the "quant"/"quant4" remat policies: the quantized tensor (+ the
+    fp32 per-row scale) is what jax.checkpoint stores, so the backward pass
+    dequantizes instead of recomputing the producing matmul.  The forward
+    consumes the dequantized value (max per-element error = scale/2 =
+    rowmax/254 at int8, rowmax/14 at int4); gradients pass straight through
+    to the exact pre-quantization value.
+
+    bits=4 packs two values per byte by hand: this jax build's native int4
+    arrays report 1 byte/element AND hit a jit recursion bug on TPU
+    (probed 2026-08-18), so the nibbles are packed into int8 — the saved
+    tensor is HALF the bytes of the int8 save ([.., n] -> [.., n/2], last
+    dim must be even), at the cost of a few extra VPU ops in the
+    save/restore fusions.  Roundtrip is exact for the packed integers
+    (tests/test_quant_remat.py::test_quant4_pack_roundtrip).
+
     No-op wiring note: only call this under a remat policy that actually
-    saves "<name>_q8"/"<name>_sc" — otherwise it just injects quantization
-    noise for nothing.
+    saves "<name>_q8"/"<name>_q4"/"<name>_sc" — otherwise it just injects
+    quantization noise for nothing.
     """
     from jax.ad_checkpoint import checkpoint_name
     x32 = x.astype(jnp.float32)
-    sc = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    if bits == 8:
+        sc = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+        sc = jnp.maximum(sc, 1e-12)
+        q8 = checkpoint_name(
+            jnp.round(lax.stop_gradient(x32) / sc).astype(jnp.int8),
+            name + "_q8")
+        sc = checkpoint_name(lax.stop_gradient(sc), name + "_sc")
+        deq = (q8.astype(jnp.float32) * sc).astype(x.dtype)
+        return _value_with_grad_to(deq, x)
+    assert bits == 4, bits
+    n = x.shape[-1]
+    assert n % 2 == 0, f"int4 pack needs an even last dim, got {n}"
+    sc = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 7.0
     sc = jnp.maximum(sc, 1e-12)
-    q8 = checkpoint_name(
-        jnp.round(lax.stop_gradient(x32) / sc).astype(jnp.int8), name + "_q8")
+    q = jnp.round(lax.stop_gradient(x32) / sc).astype(jnp.int8)  # in [-7, 7]
+    # BLOCK layout: pack column halves (q[.., :n/2] with q[.., n/2:]), not
+    # adjacent pairs — a stride-2 minor-dim access pattern fights the
+    # (8,128) VREG tiling and measured 4.7x slower (9.5 vs 2.0 ms on the
+    # [49152,3072] fc1 save, TPU v5e 2026-08-18)
+    lo, hi = q[..., :n // 2], q[..., n // 2:]
+    packed = checkpoint_name((lo & jnp.int8(0x0F)) | (hi << 4), name + "_q4")
     sc = checkpoint_name(lax.stop_gradient(sc), name + "_sc")
-    deq = (q8.astype(jnp.float32) * sc).astype(x.dtype)
+    # arithmetic shifts recover the signed nibbles exactly
+    lo_u = ((packed << 4) >> 4).astype(jnp.float32)
+    hi_u = (packed >> 4).astype(jnp.float32)
+    deq = (jnp.concatenate([lo_u, hi_u], axis=-1) * sc).astype(x.dtype)
     return _value_with_grad_to(deq, x)
 
 
@@ -422,15 +460,17 @@ class Mlp(nn.Module):
     out_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    # int8-save the fc1 preactivation for the "quant" remat policy
+    # int8/int4-save the fc1 preactivation for the "quant"/"quant4" remat
+    # policies (0 = off)
     quant_save: bool = False
+    quant_bits: int = 8
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
         x = nn.Dense(self.hidden, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
         if self.quant_save and not deterministic:
-            x = quant_save(x, "fc1")
+            x = quant_save(x, "fc1", bits=self.quant_bits)
         x = self.activation(x)
         x = HashDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.out, dtype=self.dtype,

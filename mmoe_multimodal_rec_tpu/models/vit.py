@@ -33,6 +33,7 @@ class ViTLayer(nn.Module):
     # their backward)
     quant_save_qkv: bool = False
     quant_save_fc1: bool = False
+    quant_fc1_bits: int = 8
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -55,6 +56,7 @@ class ViTLayer(nn.Module):
                 dropout=cfg.hidden_dropout, out_dropout=cfg.hidden_dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 quant_save=self.quant_save_fc1,
+                quant_bits=self.quant_fc1_bits,
                 name="mlp")(h.astype(self.dtype), deterministic=deterministic)
         return x + h.astype(x.dtype)
 
@@ -95,12 +97,14 @@ class ViTEncoder(nn.Module):
             layer_cls = nn.remat(ViTLayer, static_argnums=(2,),
                                  policy=resolve_remat_policy(
                                      self.remat_policy))
-        qkv_s = self.remat and self.remat_policy == "quant"
-        fc1_s = self.remat and self.remat_policy in ("quant", "quant_fc1")
+        qkv_s = self.remat and self.remat_policy in ("quant", "quant4")
+        fc1_s = self.remat and self.remat_policy in ("quant", "quant4",
+                                                     "quant_fc1")
+        fc1_bits = 4 if self.remat_policy == "quant4" else 8
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash, quant_save_qkv=qkv_s,
-                          quant_save_fc1=fc1_s,
+                          quant_save_fc1=fc1_s, quant_fc1_bits=fc1_bits,
                           name=f"layer_{i}")(x, deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                             name="final_norm")(x)
