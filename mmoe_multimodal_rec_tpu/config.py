@@ -139,6 +139,10 @@ class ModelConfig:
                                      # 7D^2/layer of matmuls — fastest
                                      # measured, production default; see
                                      # models/layers.resolve_remat_policy)
+                                     # | "quant4" ("quant" with the fc1
+                                     # preact packed to int4 — half that
+                                     # save's HBM traffic; convergence-gated
+                                     # in tests/test_quant_convergence.py)
 
 
 @dataclass
@@ -268,6 +272,16 @@ class Config:
         """Return a new Config with dotted-path overrides, e.g.
         cfg.override(**{"train.batch_size": 32, "model.variant": "home"})."""
         d = self.to_dict()
+        # An explicitly-set epoch length wins for BOTH variants: the two
+        # defaults mirror the reference's separate driver hardcodes
+        # (train.py:143 5600 vs train_HoME.py's 7200), but a user passing
+        # --train.steps_per_epoch=N with --model.variant=home means N —
+        # silently running 7200 micro-steps instead is a footgun.
+        if ("train.steps_per_epoch" in dotted
+                and "train.home_steps_per_epoch" not in dotted):
+            dotted = dict(dotted,
+                          **{"train.home_steps_per_epoch":
+                             dotted["train.steps_per_epoch"]})
         for key, val in dotted.items():
             node = d
             parts = key.split(".")

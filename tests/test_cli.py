@@ -14,6 +14,26 @@ def test_cli_help_and_unknown():
     assert cli_main(["nope"]) == 2
 
 
+def test_steps_per_epoch_override_applies_to_home_variant():
+    """An explicit --train.steps_per_epoch must govern the HoME variant too
+    (its separate 7200 default mirrors the reference's driver hardcode, but
+    silently ignoring a user-set value would be a footgun)."""
+    from mmoe_multimodal_rec_tpu.config import Config
+    cfg = Config.from_flags(["--model.variant=home",
+                             "--train.steps_per_epoch=4"])
+    assert cfg.train.steps_per_epoch == 4
+    assert cfg.train.home_steps_per_epoch == 4
+    # explicit home value still wins over the mirror
+    cfg = Config.from_flags(["--model.variant=home",
+                             "--train.steps_per_epoch=4",
+                             "--train.home_steps_per_epoch=6"])
+    assert cfg.train.home_steps_per_epoch == 6
+    # defaults untouched when nothing is set
+    cfg = Config.from_flags([])
+    assert cfg.train.steps_per_epoch == 5_600
+    assert cfg.train.home_steps_per_epoch == 7_200
+
+
 def test_cli_synth_and_features_and_build(tmp_path, capsys):
     assert cli_main(["synth", "--output", str(tmp_path / "wds"),
                      "--samples", "32", "--samples-per-shard", "16"]) == 0
@@ -183,3 +203,31 @@ def test_full_offline_dag_feeds_training(tmp_path, capsys):
                      f"--train.output_dir={tmp_path}/out"] + tiny) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["n"] == report["samples"]
+
+
+def test_bench_wedge_artifact_is_well_formed():
+    """Wedge-proofing (VERDICT r3 next#8): when the device probe is blocked
+    (simulated via BENCH_SIMULATE_WEDGE), bench.py must still emit ONE
+    well-formed JSON line carrying the last-measured context instead of a
+    bare failure."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["BENCH_SIMULATE_WEDGE"] = "1"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                          env=env, capture_output=True, text=True,
+                          timeout=120, cwd=repo)
+    assert proc.returncode == 1, (proc.returncode, proc.stderr[-500:])
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    out = _json.loads(lines[0])
+    assert out["metric"] == "train_examples_per_sec_per_chip"
+    assert out["value"] == 0.0
+    assert "SIMULATED" in out["error"]
+    ctx = out["extra"]["last_measured_not_this_run"]
+    assert ctx["train"] > 0 and "source" in ctx
