@@ -120,7 +120,8 @@ class Trainer:
         accum_batch = dummy_batch(cfg, accum=cfg.train.optim.grad_accum)
         self._batch_sharding = batch_shardings(accum_batch, self.mesh,
                                                accum_dim=True)
-        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,),
+                                  compiler_options=cfg.train.compiler_options)
         self._dropout_rng = jax.random.key(cfg.train.seed + 1,
                                            impl=cfg.train.rng_impl)
         # host-side optimizer-step counter: drives the per-step dropout

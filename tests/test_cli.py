@@ -34,6 +34,36 @@ def test_steps_per_epoch_override_applies_to_home_variant():
     assert cfg.train.home_steps_per_epoch == 7_200
 
 
+def test_compiler_options_flow():
+    """train.compiler_options: JSON via the config CLI, K=V pairs via
+    bench --compiler-opt; default None (compiler defaults)."""
+    import importlib
+    import sys as _sys
+    from mmoe_multimodal_rec_tpu.config import Config
+    cfg = Config.from_flags(
+        ['--train.compiler_options={"xla_tpu_scoped_vmem_limit_kib":'
+         ' "65536"}'])
+    assert cfg.train.compiler_options == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"}
+    assert Config().train.compiler_options is None
+    # round-trips through to_json/from_dict (checkpointed configs)
+    cfg2 = Config.from_dict(json.loads(cfg.to_json()))
+    assert cfg2.train.compiler_options == cfg.train.compiler_options
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, repo)
+    try:
+        bench = importlib.import_module("bench")
+    finally:
+        _sys.path.pop(0)
+    import argparse
+    ns = argparse.Namespace(compiler_opt=["a=1", "b=x=y"], batch=4, accum=1,
+                            remat_policy="quant", chunks_per_sample=2.0,
+                            scan_layers=False)
+    cfg3 = bench.build_config(ns, "baseline")
+    assert cfg3.train.compiler_options == {"a": "1", "b": "x=y"}
+
+
 def test_cli_synth_and_features_and_build(tmp_path, capsys):
     assert cli_main(["synth", "--output", str(tmp_path / "wds"),
                      "--samples", "32", "--samples-per-shard", "16"]) == 0
