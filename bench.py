@@ -230,10 +230,11 @@ def measure_infer(args):
                                           cfg.model.text.lora_alpha)}
         model = MMoERecModel(merged_model_config(cfg.model))
 
-    @jax.jit
     def fwd(variables, batch):
         out = model.apply(variables, batch, deterministic=True)
         return out.logit_good, out.logit_best
+
+    fwd = jax.jit(fwd, compiler_options=cfg.train.compiler_options)
 
     # stage the batch on device ONCE: without this every dispatch re-ships
     # ~10 MB over the tunnel and the measurement tracks link bandwidth, not

@@ -219,9 +219,10 @@ class TrainConfig:
     profile_dir: str = "./outputs/profile"
     profile_start: int = 3
     profile_steps: int = 3
-    # Extra XLA options for the train-step compile (forwarded to jax.jit's
-    # compiler_options): the experiment surface for TPU scheduling/fusion
-    # knobs, e.g. {"xla_tpu_scoped_vmem_limit_kib": "65536"}.  CLI:
+    # Extra XLA options for the step compiles (train step, eval/BN-recal
+    # steps, serving forward — forwarded to jax.jit's compiler_options):
+    # the surface for TPU scheduling/fusion knobs, e.g.
+    # {"xla_tpu_scoped_vmem_limit_kib": "65536"}.  CLI:
     # --train.compiler_options='{"k": "v"}'.  None = compiler defaults.
     compiler_options: Optional[dict] = None
     optim: OptimConfig = field(default_factory=OptimConfig)

@@ -42,7 +42,8 @@ def recalibrate_bn(cfg: Config, model: MMoERecModel, trainable, frozen,
     reference's hardcoded total_samples=22281 (infer_auc_HoME:166) is just
     its full valid split, so the default reproduces it on that split and
     stays correct on any other dataset (VERDICT r3 weak#6)."""
-    recal_step = jax.jit(make_bn_recalibration_step(cfg, model))
+    recal_step = jax.jit(make_bn_recalibration_step(cfg, model),
+                         compiler_options=cfg.train.compiler_options)
     max_batches = (math.ceil(total_samples / bn_batch_size)
                    if total_samples else None)
     loader = make_eval_loader(shard_paths, bn_batch_size, packer,
@@ -85,7 +86,8 @@ def evaluate(cfg: Config, model: MMoERecModel, trainable, frozen,
             recal_total_samples, bn_batch_size)
 
     if eval_step is None:
-        eval_step = jax.jit(make_eval_step(cfg, model))
+        eval_step = jax.jit(make_eval_step(cfg, model),
+                            compiler_options=cfg.train.compiler_options)
     preds = StreamingPredictions()
     loader = make_eval_loader(shard_paths, batch_size, packer,
                               chunk_budget=cfg.model.packer.chunk_budget)

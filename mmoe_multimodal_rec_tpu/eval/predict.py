@@ -70,7 +70,8 @@ class Predictor:
             return (jax.nn.sigmoid(out.logit_good),
                     jax.nn.sigmoid(out.logit_best))
 
-        self._fwd = jax.jit(fwd)
+        self._fwd = jax.jit(fwd,
+                            compiler_options=cfg.train.compiler_options)
 
     @classmethod
     def from_state(cls, cfg: Config, state, **kw) -> "Predictor":

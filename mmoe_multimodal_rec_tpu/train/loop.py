@@ -355,7 +355,8 @@ def train_from_config(cfg: Config) -> Dict[str, Any]:
             raise FileNotFoundError(
                 f"train.eval_every is set but no shards match "
                 f"data.valid_pattern={cfg.data.valid_pattern!r}")
-        eval_step = jax.jit(make_eval_step(cfg, trainer.model))
+        eval_step = jax.jit(make_eval_step(cfg, trainer.model),
+                            compiler_options=cfg.train.compiler_options)
 
         def eval_fn(state):
             return evaluate(cfg, trainer.model, state.trainable,

@@ -110,7 +110,8 @@ def test_recalibrate_bn_defaults_to_full_pass(tmp_path, monkeypatch):
         return step
 
     monkeypatch.setattr(ev_mod, "make_bn_recalibration_step", fake_make_step)
-    monkeypatch.setattr(ev_mod.jax, "jit", lambda f: f)
+    monkeypatch.setattr(ev_mod.jax, "jit",
+                        lambda f, **kw: f)
 
     # default: the whole 20-sample pass = ceil(20/8) = 3 padded batches
     ev_mod.recalibrate_bn(cfg, None, {}, {}, {}, shards, packer,
