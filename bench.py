@@ -137,6 +137,7 @@ def build_config(args, variant: str):
     cfg.train.optim.grad_accum = args.accum
     cfg.model.packer.chunk_budget = int(args.batch * args.chunks_per_sample)
     cfg.model.text.scan_layers = args.scan_layers
+    cfg.model.shared_text_base = getattr(args, "shared_base", False)
     cfg.train.mesh.data_parallel = 1
     cfg.train.mesh.model_parallel = 1
     if getattr(args, "compiler_opt", None):
@@ -411,6 +412,12 @@ def main():
                     help="lax.scan the text-encoder layers (one compiled "
                          "body, stacked params) — same math, much faster "
                          "cold compile; see config.TextEncoderConfig")
+    ap.add_argument("--shared-base", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="run both text experts as ONE encoder pass over "
+                         "the concatenated [user;item] chunks (shared "
+                         "frozen base + per-side LoRA; exact same math — "
+                         "models/text_expert.DualTextExpert)")
     ap.add_argument("--merge-lora", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="inference: fold LoRA into base kernels (the "

@@ -119,6 +119,19 @@ class ModelConfig:
     home_bn_momentum: float = 0.1    # torch BatchNorm1d default
     home_bn_eps: float = 1e-5
     variant: str = "baseline"        # "baseline" | "home"
+    # Run both text experts as ONE encoder pass over the concatenated
+    # [user; item] chunk batch: one shared frozen BGE base + per-side LoRA
+    # adapters (models/text_expert.DualTextExpert).  Mathematically
+    # identical to the two-tower layout whenever the two base trees are
+    # equal — which the reference workflow guarantees (both towers load the
+    # same pretrained encoder and the base is frozen, ref train.py:118-123,
+    # 151-186; exactness tested in tests/test_shared_base.py).  Halves the
+    # encoder matmul launches and runs them at 2x M (+~20% MXU rate on the
+    # [M,768]x[768,768] projections, BENCHMARKS.md "shared text base"),
+    # and drops one full frozen base copy from HBM.  Param layout changes
+    # (text_experts/...); utils/shared_base.py converts checkpoints both
+    # ways.  Default off = exact reference checkpoint layout.
+    shared_text_base: bool = False
     text: TextEncoderConfig = field(default_factory=TextEncoderConfig)
     image: ImageEncoderConfig = field(default_factory=ImageEncoderConfig)
     packer: PackerConfig = field(default_factory=PackerConfig)

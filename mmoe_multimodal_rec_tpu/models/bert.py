@@ -35,6 +35,9 @@ class BertLayer(nn.Module):
     quant_save_qkv: bool = False
     quant_save_fc1: bool = False
     quant_fc1_bits: int = 8
+    # shared-base dual-adapter mode (see layers.Attention.lora_sides)
+    lora_sides: int = 1
+    lora_split: int = 0
 
     @nn.compact
     def __call__(self, x: Array, pad_mask: Optional[Array],
@@ -46,6 +49,8 @@ class BertLayer(nn.Module):
                       lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
                       lora_dropout=cfg.lora_dropout,
                       lora_targets=cfg.lora_targets,
+                      lora_sides=self.lora_sides,
+                      lora_split=self.lora_split,
                       quant_save=self.quant_save_qkv,
                       name="attention")(x, x, x, pad_mask,
                                         deterministic=deterministic)
@@ -78,6 +83,8 @@ class _ScanBertLayer(nn.Module):
     quant_save_qkv: bool = False
     quant_save_fc1: bool = False
     quant_fc1_bits: int = 8
+    lora_sides: int = 1
+    lora_split: int = 0
 
     @nn.compact
     def __call__(self, x: Array, pad_mask: Optional[Array],
@@ -87,6 +94,8 @@ class _ScanBertLayer(nn.Module):
                       quant_save_qkv=self.quant_save_qkv,
                       quant_save_fc1=self.quant_save_fc1,
                       quant_fc1_bits=self.quant_fc1_bits,
+                      lora_sides=self.lora_sides,
+                      lora_split=self.lora_split,
                       name="layer")(x, pad_mask, deterministic)
         return y, ()
 
@@ -99,6 +108,10 @@ class BertEncoder(nn.Module):
     use_flash: bool = False
     remat: bool = False
     remat_policy: str = "dots"
+    # shared-base dual-adapter mode: rows [0, lora_split) of the merged
+    # chunk batch use side 0's LoRA, the rest side 1's (DualTextExpert)
+    lora_sides: int = 1
+    lora_split: int = 0
 
     @nn.compact
     def __call__(self, input_ids: Array,
@@ -153,6 +166,8 @@ class BertEncoder(nn.Module):
             x, _ = scan(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                         use_flash=self.use_flash, quant_save_qkv=qkv_s,
                         quant_save_fc1=fc1_s, quant_fc1_bits=fc1_bits,
+                        lora_sides=self.lora_sides,
+                        lora_split=self.lora_split,
                         name="layers")(x, pad_mask, deterministic)
             return x
         layer_cls = BertLayer
@@ -164,5 +179,7 @@ class BertEncoder(nn.Module):
             x = layer_cls(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                           use_flash=self.use_flash, quant_save_qkv=qkv_s,
                           quant_save_fc1=fc1_s, quant_fc1_bits=fc1_bits,
+                          lora_sides=self.lora_sides,
+                          lora_split=self.lora_split,
                           name=f"layer_{i}")(x, pad_mask, deterministic)
         return x

@@ -235,9 +235,17 @@ class ProjParams(nn.Module):
     tensor-parallel rules and optimizer labels are unaffected — only the
     compute is reorganized: Attention concatenates the kernels of q/k/v and
     runs ONE [D, 3D] matmul instead of three [D, D] ones (fewer MXU
-    launches, one read of x, and a single fused dx matmul in backward)."""
+    launches, one read of x, and a single fused dx matmul in backward).
+
+    `lora_sides > 1` declares SIDE-STACKED LoRA factors ([sides, in, r] /
+    [sides, r, out]) for the shared-base dual text encoder
+    (models/text_expert.DualTextExpert): one frozen base kernel serves
+    every side, each side trains its own adapter — the TPU-native
+    restructuring of the reference's two full BGE copies whose bases are
+    identical and frozen (ref model.py:585-620, train.py:151-186)."""
     features: int
     lora_rank: int = 0
+    lora_sides: int = 1
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -246,13 +254,14 @@ class ProjParams(nn.Module):
             kernel, bias = _BaseParams(self.features, self.param_dtype,
                                        name="base")(in_features)
             bound = 1.0 / math.sqrt(in_features)
+            side = () if self.lora_sides == 1 else (self.lora_sides,)
             lora_a = self.param(
                 "lora_a",
                 lambda key, shape, dt: jax.random.uniform(
                     key, shape, dt, minval=-bound, maxval=bound),
-                (in_features, self.lora_rank), self.param_dtype)
+                side + (in_features, self.lora_rank), self.param_dtype)
             lora_b = self.param("lora_b", nn.initializers.zeros,
-                                (self.lora_rank, self.features),
+                                side + (self.lora_rank, self.features),
                                 self.param_dtype)
             return kernel, bias, lora_a, lora_b
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -333,6 +342,14 @@ class Attention(nn.Module):
     lora_alpha: float = 32.0
     lora_dropout: float = 0.1
     lora_targets: tuple = ("query", "value")
+    # Shared-base dual-adapter mode (DualTextExpert): the leading
+    # `lora_split` rows of the [N, L, D] input take side 0's adapter, the
+    # rest side 1's.  Both are static, so the per-side deltas are two plain
+    # slices + thin matmuls; the base projection stays ONE matmul over the
+    # merged rows (the whole point: 2x-M MXU utilization, see
+    # BENCHMARKS.md "shared text base").
+    lora_sides: int = 1
+    lora_split: int = 0
     # int8-save the q/k/v projections for the "quant" remat policy (training
     # only — the saves are dead weight without that policy).
     quant_save: bool = False
@@ -354,7 +371,7 @@ class Attention(nn.Module):
         def params_for(name):
             lora = self.lora_rank if (self.lora_rank > 0 and
                                       name in self.lora_targets) else 0
-            return ProjParams(d, lora_rank=lora,
+            return ProjParams(d, lora_rank=lora, lora_sides=self.lora_sides,
                               param_dtype=self.param_dtype, name=name)(d)
 
         pq, pk, pv = (params_for(n) for n in ("query", "key", "value"))
@@ -380,9 +397,30 @@ class Attention(nn.Module):
             if lora_a is None:
                 return None
             h = HashDropout(self.lora_dropout)(x, deterministic=deterministic)
-            delta = h.astype(self.dtype) @ lora_a.astype(self.dtype)
-            delta = delta @ lora_b.astype(self.dtype)
-            return (self.lora_alpha / self.lora_rank) * delta
+            h = h.astype(self.dtype)
+            scale = self.lora_alpha / self.lora_rank
+            if self.lora_sides == 1:
+                delta = (h @ lora_a.astype(self.dtype)) @ lora_b.astype(
+                    self.dtype)
+                return scale * delta
+            assert self.lora_sides == 2, self.lora_sides
+            a = lora_a.astype(self.dtype)  # [2, D, r]
+            b = lora_b.astype(self.dtype)  # [2, r, D]
+            if 2 * self.lora_split == h.shape[0]:
+                # Equal per-side chunk counts (always true here: the packer
+                # budget is a static per-side constant) — a FREE leading-axis
+                # reshape to [2, n/2, ...] + batched thin matmuls.  The
+                # slice+concat formulation below costs real HBM copies at
+                # [2M, D] per target per layer and bloats the XLA graph
+                # (measured on v5e: 946 ms/step + 916 s compile vs the
+                # einsum path, BENCHMARKS.md "shared text base").
+                h3 = h.reshape((2, self.lora_split) + h.shape[1:])
+                d3 = jnp.einsum("s...d,sdr->s...r", h3, a)
+                d3 = jnp.einsum("s...r,srd->s...d", d3, b)
+                return scale * d3.reshape(h.shape)
+            deltas = [(h[:self.lora_split] @ a[0]) @ b[0],
+                      (h[self.lora_split:] @ a[1]) @ b[1]]
+            return scale * jnp.concatenate(deltas, axis=0)
 
         if use_packed:
             from ..ops.flash_attention import (_head_group,

@@ -25,7 +25,7 @@ from .home import HomeExpertWrapper, HomeMMoEHead
 from .image_expert import (ImageExpertWithProjection, ItemImageExpert,
                            normalize_patches)
 from .layers import Array
-from .text_expert import TextExpert
+from .text_expert import DualTextExpert, TextExpert
 
 
 class ModelOutputs(NamedTuple):
@@ -67,19 +67,32 @@ class MMoERecModel(nn.Module):
         enc_common = dict(common, remat=cfg.remat,
                           remat_policy=cfg.remat_policy)
 
-        user_expert = TextExpert(cfg.text, cfg.packer.fixed_sent_count,
-                                 dropout=cfg.dropout, final_norm=not home,
-                                 name="user_expert", **enc_common)
-        item_expert = TextExpert(cfg.text, cfg.packer.fixed_sent_count,
-                                 dropout=cfg.dropout, final_norm=not home,
-                                 name="item_expert", **enc_common)
+        if cfg.shared_text_base:
+            # ONE encoder pass over [user; item] chunks: shared frozen base,
+            # per-side LoRA (see DualTextExpert docstring for the exactness
+            # argument vs the reference's two frozen-base copies).
+            (u_sent, u_mask, u_doc), (i_sent, i_mask, i_doc) = \
+                DualTextExpert(cfg.text, cfg.packer.fixed_sent_count,
+                               dropout=cfg.dropout, final_norm=not home,
+                               name="text_experts", **enc_common)(
+                    batch["user_tokens"], batch["item_tokens"],
+                    batch["user_sent_chunk"], batch["user_sent_tok"],
+                    batch["item_sent_chunk"], batch["item_sent_tok"],
+                    deterministic=deterministic)
+        else:
+            user_expert = TextExpert(cfg.text, cfg.packer.fixed_sent_count,
+                                     dropout=cfg.dropout, final_norm=not home,
+                                     name="user_expert", **enc_common)
+            item_expert = TextExpert(cfg.text, cfg.packer.fixed_sent_count,
+                                     dropout=cfg.dropout, final_norm=not home,
+                                     name="item_expert", **enc_common)
 
-        u_sent, u_mask, u_doc = user_expert(
-            batch["user_tokens"], batch["user_sent_chunk"],
-            batch["user_sent_tok"], deterministic=deterministic)
-        i_sent, i_mask, i_doc = item_expert(
-            batch["item_tokens"], batch["item_sent_chunk"],
-            batch["item_sent_tok"], deterministic=deterministic)
+            u_sent, u_mask, u_doc = user_expert(
+                batch["user_tokens"], batch["user_sent_chunk"],
+                batch["user_sent_tok"], deterministic=deterministic)
+            i_sent, i_mask, i_doc = item_expert(
+                batch["item_tokens"], batch["item_sent_chunk"],
+                batch["item_sent_tok"], deterministic=deterministic)
 
         patches = normalize_patches(batch["patches"], batch["has_image"])
         projected_img = None

@@ -68,26 +68,30 @@ def _param_spec(path: Tuple[str, ...], leaf, model_axis: str) -> P:
     def row(kern):  # row-parallel Dense (bias replicated; psum after matmul)
         return P(model_axis, None) if kern == "kernel" else P(None)
 
-    def stacked(spec: P) -> P:
-        # scan_layers stacks params with a leading [num_layers] axis
-        # ("layers" scan scope, models/bert.py) — shift the TP spec right by
-        # one; the layer axis itself is never sharded.
-        if "layers" in path and len(spec) > 0:
-            return P(None, *spec)
+    def fit(spec: P) -> P:
+        # Stacked layouts add LEADING axes that are never sharded: scan_layers
+        # prepends [num_layers] ("layers" scope, models/bert.py) and the
+        # shared-base dual text encoder prepends [2] sides to lora_a/lora_b
+        # (models/layers.ProjParams lora_sides) — left-pad the TP spec with
+        # None until it matches the leaf's rank, sharding only the canonical
+        # trailing dims.
+        nd = np.ndim(leaf)
+        if len(spec) < nd:
+            return P(*([None] * (nd - len(spec))), *spec)
         return spec
 
     if name in ("kernel", "bias"):
         if parent in _COL_PARALLEL or (parent == "base" and
                                        gparent in _COL_PARALLEL):
-            return stacked(col(name))
+            return fit(col(name))
         if parent in _ROW_PARALLEL:
-            return stacked(row(name))
+            return fit(row(name))
         if parent == "fc1" and gparent == "mlp":
-            return stacked(col(name))
+            return fit(col(name))
         if parent == "fc2" and gparent == "mlp":
-            return stacked(row(name))
+            return fit(row(name))
     if name == "lora_b" and parent in _COL_PARALLEL:
-        return stacked(P(None, model_axis))
+        return fit(P(None, model_axis))
     return P()  # replicated
 
 

@@ -401,4 +401,10 @@ def convert_reference_checkpoint(ckpt: Mapping, model_cfg,
         # encoder/layers/layer with a leading [num_layers] axis
         from .scan_convert import stack_layers
         params = stack_layers(params)
+    if getattr(model_cfg, "shared_text_base", False):
+        # shared-base layout (models/text_expert.DualTextExpert): merge the
+        # two towers into one text_experts subtree.  Exact — raises if the
+        # checkpoint's frozen bases actually diverge (utils/shared_base.py).
+        from .shared_base import two_tower_to_shared
+        params = two_tower_to_shared(params)
     return params, (stats or None)

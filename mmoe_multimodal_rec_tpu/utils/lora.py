@@ -31,7 +31,16 @@ def merge_lora(params: Dict[str, Any], alpha: float) -> Dict[str, Any]:
     The merge runs in fp32 regardless of param dtype (the delta is a
     product of two low-rank factors; accumulating it in the kernel's own
     dtype would round twice) and casts back to the original param dtype.
+
+    A shared-base tree (model.shared_text_base — ONE base kernel, side-
+    stacked [2, ...] LoRA factors) is first expanded to the two-tower
+    layout (utils/shared_base.shared_to_two_tower, exact): one kernel
+    cannot hold two different merged deltas, and the expansion also puts
+    the result in the layout ``merged_model_config`` expects.
     """
+    from .shared_base import is_shared_layout, shared_to_two_tower
+    if is_shared_layout(params):
+        params = shared_to_two_tower(params)
     flat = traverse_util.flatten_dict(params)
     out: Dict[Any, Any] = {}
     n_merged = 0
@@ -64,4 +73,5 @@ def merged_model_config(model_cfg):
     (text lora_rank = 0, which also unlocks the packed-qkv kernel path)."""
     cfg = copy.deepcopy(model_cfg)
     cfg.text.lora_rank = 0
+    cfg.shared_text_base = False  # merge expands shared trees to two-tower
     return cfg

@@ -270,3 +270,53 @@ def test_cli_eval_with_reference_torch_checkpoint(tmp_path, capsys):
     assert res["n"] == 16
     report = "\n".join(lines)
     assert "missing" in report  # load report printed
+
+
+def test_convert_reference_checkpoint_shared_base():
+    """model.shared_text_base: the converter merges the two (equal-base)
+    towers into the text_experts layout; diverged bases raise."""
+    import copy
+
+    import jax
+    cfg = tiny_config("baseline")
+    mc = cfg.model
+    mc.shared_text_base = True
+    rng = np.random.default_rng(0)
+    d = mc.d
+    user_sd = {"encoder." + k: v for k, v in _bert_sd(rng, mc.text).items()}
+    # same frozen base (the reference invariant), fresh per-side LoRA
+    item_sd = copy.deepcopy(user_sd)
+    for k in item_sd:
+        if "lora_A" in k or "lora_B" in k:
+            item_sd[k] = rng.normal(size=item_sd[k].shape).astype(np.float32)
+    ckpt = {
+        "user": user_sd,
+        "item": item_sd,
+        "img": ({"backbone." + k: v for k, v in _vit_sd(rng, mc.image).items()}
+                | _flat("norm", _ln(rng, d), {})),
+        "cross_ui": _cross_sd(rng, d),
+        "concat_ui": _fuse_sd(rng, d),
+        "concat_ti": _fuse_sd(rng, d),
+        "head": _head_sd(rng, d, mc.tower_hidden),
+    }
+    for side in ("user", "item"):
+        _flat("norm", _ln(rng, d), ckpt[side])
+
+    params, stats = hf_convert.convert_reference_checkpoint(ckpt, mc)
+    assert stats is None
+
+    from mmoe_multimodal_rec_tpu.models.mmoe import MMoERecModel
+    from mmoe_multimodal_rec_tpu.train.loop import dummy_batch
+    model = MMoERecModel(mc)
+    batch = dummy_batch(cfg, batch_size=2)
+    ref = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch)["params"]
+    assert jax.tree.map(lambda x: x.shape, ref) == \
+        jax.tree.map(lambda x: np.shape(x), params)
+    out = model.apply({"params": params}, batch)
+    assert np.all(np.isfinite(np.asarray(out.logit_good)))
+
+    # a checkpoint whose bases diverge must refuse the shared layout
+    ckpt["item"]["encoder.embeddings.word_embeddings.weight"] = \
+        ckpt["item"]["encoder.embeddings.word_embeddings.weight"] + 1.0
+    with pytest.raises(ValueError, match="diverge"):
+        hf_convert.convert_reference_checkpoint(ckpt, mc)

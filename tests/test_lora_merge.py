@@ -121,3 +121,38 @@ def test_predictor_merges_by_default():
     b = plain.predict(texts_u, texts_i)
     np.testing.assert_allclose(a["prob_good"], b["prob_good"], atol=2e-5)
     np.testing.assert_allclose(a["prob_best"], b["prob_best"], atol=2e-5)
+
+
+def test_merge_shared_base_tree():
+    """A shared-base tree (model.shared_text_base) merges by first expanding
+    to two towers (one base kernel cannot hold two merged deltas) — the
+    merged forward must equal the shared adapter forward, and the layout
+    must match merged_model_config (shared off, rank 0)."""
+    from mmoe_multimodal_rec_tpu.models.mmoe import MMoERecModel
+    from mmoe_multimodal_rec_tpu.train.loop import dummy_batch
+    from mmoe_multimodal_rec_tpu.utils.lora import (merge_lora,
+                                                    merged_model_config)
+
+    cfg = tiny_config("baseline", batch_size=4)
+    cfg.model.shared_text_base = True
+    model = MMoERecModel(cfg.model)
+    batch = dummy_batch(cfg, batch_size=4)
+    params = _nonzero_lora(
+        model.init(jax.random.PRNGKey(0), batch)["params"])
+    want = model.apply({"params": params}, batch, deterministic=True)
+
+    merged = merge_lora(params, cfg.model.text.lora_alpha)
+    mcfg = merged_model_config(cfg.model)
+    assert mcfg.shared_text_base is False and mcfg.text.lora_rank == 0
+    mmodel = MMoERecModel(mcfg)
+    ref = jax.eval_shape(mmodel.init, jax.random.PRNGKey(0), batch)["params"]
+    assert jax.tree.map(lambda x: x.shape, ref) == \
+        jax.tree.map(lambda x: np.shape(x), merged)
+
+    got = mmodel.apply({"params": merged}, batch, deterministic=True)
+    np.testing.assert_allclose(np.asarray(want.logit_good),
+                               np.asarray(got.logit_good),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(want.logit_best),
+                               np.asarray(got.logit_best),
+                               rtol=0, atol=2e-5)

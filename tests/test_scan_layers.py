@@ -98,20 +98,32 @@ def test_stacked_param_shardings_shifted():
     from mmoe_multimodal_rec_tpu.parallel.mesh import _param_spec
     from jax.sharding import PartitionSpec as P
 
+    # the spec is left-padded with None to the LEAF's rank (stacked layouts
+    # only ever add leading, never-sharded axes: [num_layers] from
+    # scan_layers, [2] sides from shared_text_base)
+    k2, k3, k4 = np.zeros((3, 4)), np.zeros((2, 3, 4)), np.zeros((2, 2, 3, 4))
+
     # unrolled rules (reference behavior)
     assert _param_spec(("user_expert", "encoder", "layer_0", "attention",
-                        "query", "base", "kernel"), None, "model") == \
+                        "query", "base", "kernel"), k2, "model") == \
         P(None, "model")
     # stacked: same rule shifted right by the [num_layers] axis
     assert _param_spec(("user_expert", "encoder", "layers", "layer",
-                        "attention", "query", "base", "kernel"), None,
+                        "attention", "query", "base", "kernel"), k3,
                        "model") == P(None, None, "model")
     assert _param_spec(("user_expert", "encoder", "layers", "layer", "mlp",
-                        "fc2", "kernel"), None, "model") == \
+                        "fc2", "kernel"), k3, "model") == \
         P(None, "model", None)
     assert _param_spec(("user_expert", "encoder", "layers", "layer",
-                        "attention", "query", "lora_b"), None, "model") == \
+                        "attention", "query", "lora_b"), k3, "model") == \
         P(None, None, "model")
+    # shared-base side-stacked LoRA ([2, r, D]), and scan+shared ([L, 2, r, D])
+    assert _param_spec(("text_experts", "encoder", "layer_0", "attention",
+                        "query", "lora_b"), k3, "model") == \
+        P(None, None, "model")
+    assert _param_spec(("text_experts", "encoder", "layers", "layer",
+                        "attention", "query", "lora_b"), k4, "model") == \
+        P(None, None, None, "model")
 
 
 def test_scan_train_step_runs_and_learns_sign():
