@@ -479,7 +479,9 @@ def main():
     # 939->918 ms/step, additive pair — BENCHMARKS round-4 experiment (d)).
     # An explicit --compiler-opt replaces them; non-TPU backends reject
     # xla_tpu_* names, so the default is backend-gated.
-    if not args.compiler_opt and jax.default_backend() == "tpu":
+    if args.compiler_opt == ["none"]:
+        args.compiler_opt = []   # explicit stock-XLA control run
+    elif not args.compiler_opt and jax.default_backend() == "tpu":
         args.compiler_opt = [
             "xla_tpu_scoped_vmem_limit_kib=65536",
             "xla_tpu_enable_experimental_fusion_cost_model=true"]

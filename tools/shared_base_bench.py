@@ -81,13 +81,19 @@ def lora_rate(mode):
     x = jnp.asarray(rng.standard_normal((2 * M_SIDE, D)), jnp.bfloat16)
 
     if mode == "dual":
-        # production formulation (models/layers.Attention): free leading-
-        # axis reshape + batched thin matmuls — no slice/concat copies
+        # production formulation (models/layers.Attention): the two side
+        # adapters folded into ONE rank-2r chain with a block mask — plain
+        # 2D matmuls that fuse into the projection epilogue
         def body(acc, la, lb, x):
-            h = (x + acc).reshape(2, M_SIDE, D)
-            d = jnp.einsum("smr,srd->smd", jnp.einsum("smd,sdr->smr", h, la),
-                           lb)
-            return d[0, 0, 0] * jnp.bfloat16(1e-9)
+            h = x + acc
+            a2 = jnp.concatenate([la[0], la[1]], axis=-1)   # [D, 2r]
+            b2 = lb.reshape(2 * R, D)                       # [2r, D]
+            t = h @ a2
+            keep = (jnp.arange(2 * M_SIDE)[:, None] >= M_SIDE) == \
+                (jnp.arange(2 * R)[None, :] >= R)
+            t = jnp.where(keep, t, jnp.zeros((), t.dtype))
+            d = t @ b2
+            return d[0, 0] * jnp.bfloat16(1e-9)
     else:
         def body(acc, la, lb, x):
             h = x + acc
