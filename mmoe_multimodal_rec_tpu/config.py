@@ -46,6 +46,13 @@ class TextEncoderConfig:
     lora_alpha: float = 32.0
     lora_dropout: float = 0.1
     lora_targets: Tuple[str, ...] = ("query", "value")
+    # Fuse the LoRA input dropout into the thin matmuls via the Pallas op
+    # (ops/lora_dropout.py): the mask regenerates in-kernel from the TPU
+    # hardware PRNG, so the dropped [N*L, D] tensor is never materialized
+    # (the plain-XLA formulation costs ~32-48 ms/step at the bench shape,
+    # BENCHMARKS.md "Round-5 experiment log").  Same iid-Bernoulli
+    # semantics, different mask stream; auto-falls back off-TPU.
+    lora_fused_dropout: bool = True
 
 
 @dataclass

@@ -51,6 +51,7 @@ class BertLayer(nn.Module):
                       lora_targets=cfg.lora_targets,
                       lora_sides=self.lora_sides,
                       lora_split=self.lora_split,
+                      lora_fused_dropout=cfg.lora_fused_dropout,
                       quant_save=self.quant_save_qkv,
                       name="attention")(x, x, x, pad_mask,
                                         deterministic=deterministic)

@@ -350,6 +350,9 @@ class Attention(nn.Module):
     # BENCHMARKS.md "shared text base").
     lora_sides: int = 1
     lora_split: int = 0
+    # fuse the LoRA input dropout into the thin matmuls via the Pallas op
+    # (ops/lora_dropout.py) — auto-falls back off-TPU / at odd shapes
+    lora_fused_dropout: bool = True
     # int8-save the q/k/v projections for the "quant" remat policy (training
     # only — the saves are dead weight without that policy).
     quant_save: bool = False
@@ -392,35 +395,65 @@ class Attention(nn.Module):
         use_packed = (self.use_flash and self_attn and self.lora_rank == 0
                       and _flash_ok(query, head_dim, rate))
 
+        def drop_matmul(h, a):
+            """(keep ⊙ h·inv) @ a — via the fused Pallas op when available.
+
+            XLA must materialize a matmul operand, so the plain formulation
+            writes the full dropped [N·L, D] tensor to HBM (and the remat
+            backward re-materializes it for dA as multi-output hash+select
+            loop fusions, ~32-48 ms/step at the bench shape).  The fused op
+            (ops/lora_dropout.py) regenerates the mask in-kernel from the
+            hardware PRNG instead — h is read once per pass, nothing
+            [N·L, D]-sized is ever written.  Falls back to HashDropout +
+            dot off-TPU / at non-blockable shapes (identical iid-Bernoulli
+            semantics, different mask stream — the flash-attention dropout
+            tradeoff)."""
+            h = h.astype(self.dtype)
+            rate = self.lora_dropout if not deterministic else 0.0
+            if rate > 0.0 and self.lora_fused_dropout:
+                from ..ops.lora_dropout import (lora_dropout_matmul,
+                                                lora_fused_ok)
+                h2 = h.reshape(-1, h.shape[-1])
+                if lora_fused_ok(h2, a):
+                    seed = jax.random.randint(self.make_rng("dropout"), (),
+                                              0, 2 ** 31 - 1, jnp.int32)
+                    t = lora_dropout_matmul(h2, a, seed, rate)
+                    return t.reshape(h.shape[:-1] + (a.shape[-1],))
+            if rate > 0.0:
+                h = HashDropout(rate)(h, deterministic=False)
+            return h @ a
+
         def lora_delta(x, parts):
             _, _, lora_a, lora_b = parts
             if lora_a is None:
                 return None
-            h = HashDropout(self.lora_dropout)(x, deterministic=deterministic)
-            h = h.astype(self.dtype)
             scale = self.lora_alpha / self.lora_rank
             if self.lora_sides == 1:
-                delta = (h @ lora_a.astype(self.dtype)) @ lora_b.astype(
-                    self.dtype)
-                return scale * delta
+                t = drop_matmul(x, lora_a.astype(self.dtype))
+                return scale * (t @ lora_b.astype(self.dtype))
             assert self.lora_sides == 2, self.lora_sides
             a = lora_a.astype(self.dtype)  # [2, D, r]
             b = lora_b.astype(self.dtype)  # [2, r, D]
-            if 2 * self.lora_split == h.shape[0]:
-                # Equal per-side chunk counts (always true here: the packer
-                # budget is a static per-side constant) — a FREE leading-axis
-                # reshape to [2, n/2, ...] + batched thin matmuls.  The
-                # slice+concat formulation below costs real HBM copies at
-                # [2M, D] per target per layer and bloats the XLA graph
-                # (measured on v5e: 946 ms/step + 916 s compile vs the
-                # einsum path, BENCHMARKS.md "shared text base").
-                h3 = h.reshape((2, self.lora_split) + h.shape[1:])
-                d3 = jnp.einsum("s...d,sdr->s...r", h3, a)
-                d3 = jnp.einsum("s...r,srd->s...d", d3, b)
-                return scale * d3.reshape(h.shape)
-            deltas = [(h[:self.lora_split] @ a[0]) @ b[0],
-                      (h[self.lora_split:] @ a[1]) @ b[1]]
-            return scale * jnp.concatenate(deltas, axis=0)
+            r = a.shape[-1]
+            # Fold the two side adapters into ONE rank-2r chain with a
+            # block mask: rows of side s see only columns [s*r:(s+1)*r] of
+            # the concatenated factors, so this equals the per-side chains
+            # EXACTLY (cross-block terms are zeroed before touching B, and
+            # the zeros also kill the wrong side's A/B gradients) while
+            # staying plain 2D matmuls that fuse into the projection
+            # epilogue like the single-tower LoRA does.  The batched-einsum
+            # / slice+concat alternatives break that fusion and measure
+            # +52 ms/step of standalone [2M, D] loop-fusions on v5e
+            # (xprof category diff, BENCHMARKS.md "shared text base").
+            a2 = jnp.concatenate([a[0], a[1]], axis=-1)   # [D, 2r]
+            b2 = b.reshape(2 * r, -1)                     # [2r, D]
+            t = drop_matmul(x, a2)                        # [..., 2r] (thin)
+            row_side = jnp.arange(x.shape[0]) >= self.lora_split
+            col_side = jnp.arange(2 * r) >= r
+            keep = (row_side[:, None] == col_side[None, :]).reshape(
+                (x.shape[0],) + (1,) * (x.ndim - 2) + (2 * r,))
+            t = jnp.where(keep, t, jnp.zeros((), t.dtype))
+            return scale * (t @ b2)
 
         if use_packed:
             from ..ops.flash_attention import (_head_group,
